@@ -1,0 +1,118 @@
+"""Language identification: marker-token heuristic + vectorized UDF.
+
+Two implementations of the SAME deterministic scoring model:
+
+- ``langid_expr`` — pure column expressions (Catalyst, zero Python);
+  rendered for DuckDB too (``langid_sql``) so it is oracle-checkable.
+- ``langid_pandas_udf`` — the fastText-shaped path: a vectorized
+  Series→Series pandas UDF whose "model" (marker-token table) is built
+  lazily once per Python worker, the pattern the north star requires
+  for real fastText/KenLM models (reference analogue: the class-level
+  scrubber singleton, /root/reference/SMParser/smparserbase.py:72-79).
+  pytest asserts both paths agree row-for-row.
+
+Model: score(lang) = number of tokens in lang's marker set; prediction
+is the argmax with ties broken in fixed order (en, de, fr, es); 'und'
+when every score is zero. Swap the marker table for a real fastText
+model in production — the Spark plumbing (Arrow batches, lazy init,
+schema) is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .quality import words_expr, words_sql
+
+# disjoint marker sets, fixed priority order
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "you", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ich", "mit"),
+    "fr": ("le", "les", "et", "est", "pas", "je", "vous", "dans"),
+    "es": ("el", "los", "las", "por", "que", "para", "una", "como"),
+}
+LANG_ORDER: tuple[str, ...] = ("en", "de", "fr", "es")
+UNKNOWN_LANG = "und"
+
+
+def lang_score_expr(text: Column, lang: str) -> Column:
+    w = words_expr(text)
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(w, lambda x: x.isin(*markers)))
+
+
+def lang_score_sql(text: str, lang: str) -> str:
+    w = words_sql(text)
+    inlist = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({w}, x -> x in ({inlist})))"
+
+
+def langid_expr(text: Column) -> Column:
+    """Predicted language as a CASE chain over marker scores."""
+    scores = {lang: lang_score_expr(text, lang) for lang in LANG_ORDER}
+    pred = F.lit(UNKNOWN_LANG)
+    # build the when-chain back-to-front so earlier langs win ties
+    for i in range(len(LANG_ORDER) - 1, -1, -1):
+        lang = LANG_ORDER[i]
+        cond = scores[lang] > 0
+        for later in LANG_ORDER[i + 1:]:
+            cond = cond & (scores[lang] >= scores[later])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def langid_sql(text: str) -> str:
+    parts = []
+    for i, lang in enumerate(LANG_ORDER):
+        conds = [f"{lang_score_sql(text, lang)} > 0"]
+        for later in LANG_ORDER[i + 1:]:
+            conds.append(f"{lang_score_sql(text, lang)} >= {lang_score_sql(text, later)}")
+        parts.append(f"when {' and '.join(conds)} then '{lang}'")
+    return f"(case {' '.join(parts)} else '{UNKNOWN_LANG}' end)"
+
+
+# ---------------------------------------------------------------------------
+# vectorized UDF path (fastText-shaped)
+# ---------------------------------------------------------------------------
+
+_MODEL_CACHE: dict[str, dict[str, frozenset]] = {}
+
+
+def _get_model() -> dict[str, frozenset]:
+    """Lazy per-worker model init (stands in for fasttext.load_model)."""
+    model = _MODEL_CACHE.get("langid")
+    if model is None:
+        model = {lang: frozenset(m) for lang, m in LANG_MARKERS.items()}
+        _MODEL_CACHE["langid"] = model
+    return model
+
+
+def _predict_series(s: pd.Series) -> pd.Series:
+    model = _get_model()
+
+    def predict(text: str | None) -> str | None:
+        if text is None:
+            return None
+        tokens = text.lower().split()
+        best_lang, best_score = UNKNOWN_LANG, 0
+        for lang in LANG_ORDER:
+            score = sum(1 for t in tokens if t in model[lang])
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    return s.map(predict)
+
+
+def langid_pandas_udf():
+    @pandas_udf("string")
+    def langid_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield _predict_series(s)
+
+    return langid_udf

@@ -1,0 +1,100 @@
+"""Text-analysis functions: token counting, fingerprinting, misc scalars.
+
+All pure column expressions with DuckDB SQL twins (oracle parity).
+Covers the reference's scalar-function surface (SURVEY.md §2.7):
+F7 split-k/v, F8 join-with-separator, F9 containment, F10 extension
+parse, F11 photo-sequence format — plus the training-pipeline extras
+(whitespace + BPE-ish token counts, rolling-hash fingerprint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# reference image-extension whitelist (smparserbase.py:26)
+VALID_TYPES = [".bmp", ".jpeg", ".jpg", ".jpe", ".png", ".tiff", ".tif"]
+
+
+# --- token counting --------------------------------------------------------
+
+def ws_token_count_expr(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def ws_token_count_sql(text: str) -> str:
+    return f"len(regexp_split_to_array(trim({text}), '\\s+'))"
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|\d+|[^A-Za-z\d\s]"
+
+
+def bpe_ish_token_count_expr(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punct marks.
+
+    ``regexp_count`` stays entirely JVM-side — at 100 TB this is the
+    cheap pre-tokenizer estimate pipelines use for length budgeting.
+    """
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def bpe_ish_token_count_sql(text: str) -> str:
+    return f"len(regexp_extract_all({text}, '{BPE_ISH_PATTERN}'))"
+
+
+# --- document fingerprinting ----------------------------------------------
+
+def fingerprint_expr(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of NFC-ish normalized text.
+
+    (lowercased, whitespace-collapsed). Portable across Spark/DuckDB/
+    Python — used by exact dedup. xxhash64 would be faster Spark-side
+    but is not reproducible in the oracle; the bench path uses
+    ``fingerprint_fast_expr``.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))
+
+
+def fingerprint_sql(text: str) -> str:
+    return f"md5(regexp_replace(trim(lower({text})), '\\s+', ' ', 'g'))"
+
+
+def fingerprint_fast_expr(text: Column) -> Column:
+    """64-bit xxhash fingerprint — the at-scale variant (no oracle twin)."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+# --- reference scalar functions --------------------------------------------
+
+def split_kv_expr(col: Column) -> Column:
+    """F7 — `'Category: Value'.split(': ', 1)` → struct(key, value)."""
+    return F.struct(
+        F.split(col, ": ", 2)[0].alias("key"),
+        F.split(col, ": ", 2)[1].alias("value"),
+    )
+
+
+def img_ext_expr(uri: Column) -> Column:
+    """F10 — file-extension parse + whitelist (smparserbase.py:129-131)."""
+    ext = F.lower(F.regexp_extract(uri, r"(\.[A-Za-z]+)$", 1))
+    return F.when(ext.isin(VALID_TYPES), ext)
+
+
+def img_ext_sql(uri: str) -> str:
+    inlist = ", ".join(f"'{t}'" for t in VALID_TYPES)
+    ext = f"lower(regexp_extract({uri}, '(\\.[A-Za-z]+)$', 1))"
+    return f"(case when {ext} in ({inlist}) then {ext} end)"
+
+
+def ph_num_expr(n: Column) -> Column:
+    """F11 — photo sequence `0A, 0B, … 1A` (smparserbase.py:184-187)."""
+    return F.concat(
+        F.floor(n / 26).cast("string"), F.char(F.lit(65) + (n % 26))
+    )
+
+
+def ph_num_sql(n: str) -> str:
+    return f"concat(cast(({n}) // 26 as varchar), chr(65 + cast(({n}) % 26 as int)))"
