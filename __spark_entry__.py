@@ -1,38 +1,575 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + operator queries + DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 (plus the training-pipeline extensions:
+dedup, similarity search, text analysis) has a ``queries()`` entry; all
+but the genuinely non-SQL-expressible ones (pandas-UDF model stages,
+binary media scrub) have an exact ``oracle_sql()`` twin. Column names
+are aliased identically on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.config import ScrubConfig
+from social_media_pii_scrubber_spark.functions import langid as L
+from social_media_pii_scrubber_spark.functions import quality as Q
+from social_media_pii_scrubber_spark.functions import scrub as S
+from social_media_pii_scrubber_spark.functions import text as T
+from social_media_pii_scrubber_spark.functions import timeparse as TP
+from social_media_pii_scrubber_spark.functions.perplexity import perplexity_pandas_udf
+from social_media_pii_scrubber_spark.operators import dates as D
+from social_media_pii_scrubber_spark.operators import dedup as DD
+from social_media_pii_scrubber_spark.operators import joins as J
+from social_media_pii_scrubber_spark.operators import pivots as P
+from social_media_pii_scrubber_spark.operators import similarity as SIM
+from social_media_pii_scrubber_spark.operators import windows as W
+from social_media_pii_scrubber_spark.operators.media import scrub_media
+from social_media_pii_scrubber_spark.plans.pipeline import (
+    filter_scrub_pipeline, pipeline_oracle_sql,
+)
+from social_media_pii_scrubber_spark.sources.webpages import (
+    webpages_from_documents, webpages_from_documents_sql,
+)
+
+from datetime import datetime
+
+CFG = ScrubConfig()  # default window: 2022-12-31 .. 2024-12-31
+
+# fixed windows matched to the testdata domains
+EVENTS_FIRST = datetime(2024, 1, 8)
+EVENTS_LAST = datetime(2024, 1, 21, 23, 59, 59)
+ORDERS_FIRST = datetime(1996, 1, 1)
+ORDERS_LAST = datetime(1998, 12, 31)
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+PART_CATEGORIES = ["small", "red", "blue", "ring", "gear", "other"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full filter+scrub pipeline on sf0.001 web pages."""
+    pages = webpages_from_documents(spark, "/root/testdata/sf0.001")
+    return filter_scrub_pipeline(pages, CFG).df
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_p1_date_filter_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.filter(
+        D.in_date_range_expr(F.col("ts"), EVENTS_FIRST, EVENTS_LAST)
+    ).select("event_id", "ts", "event_type")
+
+
+def q_p2_orders_window(spark, sf):
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        D.in_date_range_expr(F.col("o_orderdate"), ORDERS_FIRST, ORDERS_LAST)
+    ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+def q_p4_nonblank_documents(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.filter(F.trim(F.col("text")) != "").select("doc_id")
+
+
+def q_p6_anti_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    big = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    return J.anti_join(c, big.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey") \
+        .select("c_custkey", "c_name")
+
+
+def q_j1_semi_flag(spark, sf):
+    o = _t(spark, sf, "orders")
+    building = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING") \
+        .select(F.col("c_custkey").alias("o_custkey"))
+    return J.semi_flag_join(o, building, "o_custkey", "is_building") \
+        .select("o_orderkey", "o_custkey", "is_building")
+
+
+def q_j4_zip_longest(spark, sf):
+    d = _t(spark, sf, "documents")
+
+    def side(lang, name):
+        return d.filter(F.col("lang") == lang).select(
+            F.col("doc_id").alias("_ord"), F.col("doc_id").cast("string").alias(name)
+        )
+
+    return J.zip_longest_join(
+        [side("en", "a"), side("de", "b"), side("fr", "c"), side("es", "d")]
+    )
+
+
+def q_a1_global_counts(spark, sf):
+    c = _t(spark, sf, "customer").agg(F.count(F.lit(1)).alias("total_customers"))
+    s = _t(spark, sf, "supplier").agg(F.count(F.lit(1)).alias("total_suppliers"))
+    return c.crossJoin(s)
+
+
+def q_a2_groupby_count(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_a3_pivot_segments(spark, sf):
+    c = _t(spark, sf, "customer")
+    return P.pivot_count(c, "c_nationkey", "c_mktsegment", SEGMENTS, total_name="total")
+
+
+def q_a4_dynamic_pivot(spark, sf):
+    ev = _t(spark, sf, "events")
+    return P.dynamic_pivot_count(ev, "user_id", "event_type")
+
+
+def q_a5_category_extract(spark, sf):
+    p = _t(spark, sf, "part")
+    cat = P.extract_category_expr(F.lower(F.col("p_name")), PART_CATEGORIES)
+    return (
+        p.withColumn("category", cat)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_a6_distinct(spark, sf):
+    return _t(spark, sf, "customer").select("c_mktsegment").distinct()
+
+
+def q_w1_photo_seq(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return W.photo_seq(li, "l_orderkey", "l_linenumber").select(
+        "l_orderkey", "l_linenumber", "photo_seq"
+    )
+
+
+def q_w2_week_bins(spark, sf):
+    ev = _t(spark, sf, "events")
+    bins = D.week_bin_expr(F.col("ts"), datetime(2024, 2, 1))
+    return ev.withColumn("week_bin", bins).groupBy("week_bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_u1_union(spark, sf):
+    c = _t(spark, sf, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = _t(spark, sf, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionByName(s)
+
+
+def _when_string_expr():
+    ev_id = F.col("event_id")
+    return (
+        F.when(ev_id % 3 == 0, F.unix_timestamp(F.col("ts")).cast("string"))
+        .when(ev_id % 3 == 1,
+              F.concat(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit("+05:00")))
+        .otherwise(F.lit("not a date"))
+    )
+
+
+def q_f4_parse_when(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = _when_string_expr()
+    return ev.select(
+        "event_id",
+        w.alias("when_str"),
+        TP.parse_when_expr(w).alias("parsed_ts"),
+    )
+
+
+def q_f5_time_string(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select("event_id", TP.time_string_expr(F.col("ts")).alias("time_str"))
+
+
+def q_f7_split_kv(spark, sf):
+    ev = _t(spark, sf, "events")
+    kv = F.concat("event_type", F.lit(": "), F.col("value").cast("string"))
+    st = T.split_kv_expr(kv)
+    return ev.select("event_id", st.getField("key").alias("k"),
+                     st.getField("value").alias("v"))
+
+
+def q_f8_string_agg(spark, sf):
+    ev = _t(spark, sf, "events")
+    agg = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("event_id", "event_type"))),
+            lambda x: x.getField("event_type"),
+        ),
+        "; ",
+    )
+    return ev.groupBy("user_id").agg(agg.alias("type_seq"))
+
+
+def q_f9_contains(spark, sf):
+    p = _t(spark, sf, "part")
+    return p.select(
+        "p_partkey", F.col("p_name").contains("red").alias("has_red")
+    )
+
+
+def q_f10_img_ext(spark, sf):
+    p = _t(spark, sf, "part")
+    uri = F.concat(
+        F.lit("media/img"), F.col("p_partkey").cast("string"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(".jpg"))
+         .when(F.col("p_partkey") % 4 == 1, F.lit(".PNG"))
+         .when(F.col("p_partkey") % 4 == 2, F.lit(".txt"))
+         .otherwise(F.lit(".TIF")),
+    )
+    return p.select("p_partkey", T.img_ext_expr(uri).alias("ext"))
+
+
+def q_f11_ph_num(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        T.ph_num_expr(F.col("l_linenumber") * 9).alias("ph"),
+    )
+
+
+def q_f12_json_path(spark, sf):
+    ev = _t(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+def q_scrub_bank(spark, sf):
+    pages = webpages_from_documents(spark, sf)
+    return pages.select("url", S.scrub_bank_expr(F.col("text")).alias("scrubbed_text"))
+
+
+def q_quality_heuristics(spark, sf):
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        Q.n_chars_expr(t).alias("n_chars_calc"),
+        Q.n_words_expr(t).alias("n_words"),
+        Q.mean_word_len_expr(t).alias("mean_word_len"),
+        Q.symbol_ratio_expr(t).alias("symbol_ratio"),
+        Q.distinct_ratio_expr(t).alias("distinct_ratio"),
+        Q.stopword_fraction_expr(t).alias("stopword_fraction"),
+        Q.keep_expr(t).alias("keep"),
+    )
+
+
+def q_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", L.langid_expr(F.col("text")).alias("pred_lang"))
+
+
+def q_flagship_pipeline(spark, sf):
+    pages = webpages_from_documents(spark, sf)
+    return filter_scrub_pipeline(pages, CFG).df
+
+
+def q_tok_counts(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        T.ws_token_count_expr(F.col("text")).alias("ws_tokens"),
+        T.bpe_ish_token_count_expr(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.fingerprint_expr(F.col("text")).alias("fp"))
+
+
+def _docs_with_dups(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dups)
+
+
+_DOCS_WITH_DUPS_SQL = (
+    "select doc_id, text from documents "
+    "union all select doc_id + 100000 as doc_id, text from documents where doc_id < 20"
+)
+
+
+def q_exact_dedup(spark, sf):
+    return DD.exact_dedup(_docs_with_dups(spark, sf), "text", "doc_id")
+
+
+def q_minhash_signature(spark, sf):
+    d = _t(spark, sf, "documents")
+    return DD.minhash_signature(d, "text", "doc_id")
+
+
+def q_lsh_pairs(spark, sf):
+    return DD.lsh_candidate_pairs(_docs_with_dups(spark, sf), "text", "doc_id")
+
+
+def q_jaccard_pairs(spark, sf):
+    return DD.jaccard_pairs(_docs_with_dups(spark, sf), "text", "doc_id")
+
+
+def q_simhash(spark, sf):
+    d = _t(spark, sf, "documents")
+    return DD.simhash_signature(d, "text", "doc_id")
+
+
+def q_cosine_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SIM.cosine_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
+
+
+def q_ann_lsh_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
+
+
+# --- UDF-backed (no SQL oracle; driver records rows-only check) -------------
+
+def q_perplexity_udf(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", perplexity_pandas_udf()(F.col("text")).alias("perplexity"))
+
+
+def q_media_scrub(spark, sf):
+    pages = webpages_from_documents(spark, sf)
+    return scrub_media(pages)
+
+
+def q_clean_text_udf(spark, sf):
+    from social_media_pii_scrubber_spark.config import FIXTURE_CONFIG
+    pages = webpages_from_documents(spark, sf)
+    return pages.select(
+        "url", S.clean_text_pandas_udf(FIXTURE_CONFIG)(F.col("text")).alias("cleaned")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "p1_date_filter_events": q_p1_date_filter_events,
+        "p2_orders_window": q_p2_orders_window,
+        "p4_nonblank_documents": q_p4_nonblank_documents,
+        "p6_anti_join": q_p6_anti_join,
+        "j1_semi_flag": q_j1_semi_flag,
+        "j4_zip_longest": q_j4_zip_longest,
+        "a1_global_counts": q_a1_global_counts,
+        "a2_groupby_count": q_a2_groupby_count,
+        "a3_pivot_segments": q_a3_pivot_segments,
+        "a4_dynamic_pivot": q_a4_dynamic_pivot,
+        "a5_category_extract": q_a5_category_extract,
+        "a6_distinct": q_a6_distinct,
+        "w1_photo_seq": q_w1_photo_seq,
+        "w2_week_bins": q_w2_week_bins,
+        "u1_union": q_u1_union,
+        "f4_parse_when": q_f4_parse_when,
+        "f5_time_string": q_f5_time_string,
+        "f7_split_kv": q_f7_split_kv,
+        "f8_string_agg": q_f8_string_agg,
+        "f9_contains": q_f9_contains,
+        "f10_img_ext": q_f10_img_ext,
+        "f11_ph_num": q_f11_ph_num,
+        "f12_json_path": q_f12_json_path,
+        "scrub_bank": q_scrub_bank,
+        "quality_heuristics": q_quality_heuristics,
+        "langid": q_langid,
+        "flagship_pipeline": q_flagship_pipeline,
+        "tok_counts": q_tok_counts,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "perplexity_udf": q_perplexity_udf,
+        "media_scrub": q_media_scrub,
+        "clean_text_udf": q_clean_text_udf,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages_cte = webpages_from_documents_sql("documents")
+    when_sql = (
+        "case when event_id % 3 = 0 then cast(cast(floor(epoch(ts)) as bigint) as varchar) "
+        "when event_id % 3 = 1 then strftime(ts, '%Y-%m-%d %H:%M:%S') || '+05:00' "
+        "else 'not a date' end"
+    )
+    zip_side = (
+        "select row_number() over (order by doc_id) as rn, cast(doc_id as varchar) as {n} "
+        "from documents where lang = '{lang}'"
+    )
+    uri_sql = (
+        "'media/img' || cast(p_partkey as varchar) || "
+        "(case when p_partkey % 4 = 0 then '.jpg' when p_partkey % 4 = 1 then '.PNG' "
+        "when p_partkey % 4 = 2 then '.txt' else '.TIF' end)"
+    )
+    return {
+        "p1_date_filter_events": (
+            "select event_id, ts, event_type from events where "
+            + D.in_date_range_sql("ts", EVENTS_FIRST, EVENTS_LAST)
+        ),
+        "p2_orders_window": (
+            "select o_orderkey, o_orderdate, o_totalprice from orders where "
+            + D.in_date_range_sql("o_orderdate", ORDERS_FIRST, ORDERS_LAST)
+        ),
+        "p4_nonblank_documents": (
+            "select doc_id from documents where trim(text) != ''"
+        ),
+        "p6_anti_join": (
+            "select c_custkey, c_name from customer "
+            "where c_custkey not in (select o_custkey from orders where o_totalprice > 150000)"
+        ),
+        "j1_semi_flag": (
+            "select o_orderkey, o_custkey, "
+            "o_custkey in (select c_custkey from customer where c_mktsegment = 'BUILDING')"
+            " as is_building from orders"
+        ),
+        "j4_zip_longest": (
+            "with a as (" + zip_side.format(n="a", lang="en") + "), "
+            "b as (" + zip_side.format(n="b", lang="de") + "), "
+            "c as (" + zip_side.format(n="c", lang="fr") + "), "
+            "d as (" + zip_side.format(n="d", lang="es") + ") "
+            "select coalesce(a.rn, b.rn, c.rn, d.rn) as rn, "
+            "coalesce(a, '') as a, coalesce(b, '') as b, "
+            "coalesce(c, '') as c, coalesce(d, '') as d "
+            "from a full join b using (rn) full join c using (rn) full join d using (rn)"
+        ),
+        "a1_global_counts": (
+            "select (select count(*) from customer) as total_customers, "
+            "(select count(*) from supplier) as total_suppliers"
+        ),
+        "a2_groupby_count": (
+            "select event_type, count(*) as cnt from events group by event_type"
+        ),
+        "a3_pivot_segments": P.pivot_count_sql(
+            "customer", "c_nationkey", "c_mktsegment", SEGMENTS, total_name="total"
+        ),
+        "a4_dynamic_pivot": (
+            "select user_id, "
+            + ", ".join(
+                f"count(case when event_type = '{t}' then 1 end) as \"{t}\""
+                for t in EVENT_TYPES
+            )
+            + " from events group by user_id"
+        ),
+        "a5_category_extract": (
+            f"select {P.extract_category_sql('lower(p_name)', PART_CATEGORIES)} as category, "
+            "count(*) as cnt from part group by category"
+        ),
+        "a6_distinct": "select distinct c_mktsegment from customer",
+        "w1_photo_seq": (
+            "select l_orderkey, l_linenumber, "
+            + T.ph_num_sql(
+                "(row_number() over (partition by l_orderkey order by l_linenumber) - 1)"
+            )
+            + " as photo_seq from lineitem"
+        ),
+        "w2_week_bins": (
+            f"select {D.week_bin_sql('ts', datetime(2024, 2, 1))} as week_bin, "
+            "count(*) as cnt from events group by week_bin"
+        ),
+        "u1_union": (
+            "select c_name as name, 'customer' as kind from customer "
+            "union all select s_name as name, 'supplier' as kind from supplier"
+        ),
+        "f4_parse_when": (
+            f"select event_id, {when_sql} as when_str, "
+            + TP.parse_when_sql(f"({when_sql})")
+            + " as parsed_ts from events"
+        ),
+        "f5_time_string": (
+            "select event_id, strftime(ts, '%-I:%M %p') as time_str from events"
+        ),
+        "f7_split_kv": (
+            "select event_id, "
+            "split_part(event_type || ': ' || cast(value as varchar), ': ', 1) as k, "
+            "split_part(event_type || ': ' || cast(value as varchar), ': ', 2) as v "
+            "from events"
+        ),
+        "f8_string_agg": (
+            "select user_id, string_agg(event_type, '; ' order by event_id) as type_seq "
+            "from events group by user_id"
+        ),
+        "f9_contains": (
+            "select p_partkey, p_name like '%red%' as has_red from part"
+        ),
+        "f10_img_ext": (
+            f"select p_partkey, {T.img_ext_sql(f'({uri_sql})')} as ext from part"
+        ),
+        "f11_ph_num": (
+            f"select l_orderkey, l_linenumber, {T.ph_num_sql('l_linenumber * 9')} as ph "
+            "from lineitem"
+        ),
+        "f12_json_path": (
+            "select event_id, json_extract_string(props, '$.k')::int as k_val from events"
+        ),
+        "scrub_bank": (
+            f"with pages as ({pages_cte}) "
+            f"select url, {S.scrub_bank_sql('text')} as scrubbed_text from pages"
+        ),
+        "quality_heuristics": (
+            "select doc_id, "
+            f"{Q.n_chars_sql('text')} as n_chars_calc, "
+            f"{Q.n_words_sql('text')} as n_words, "
+            f"{Q.mean_word_len_sql('text')} as mean_word_len, "
+            f"{Q.symbol_ratio_sql('text')} as symbol_ratio, "
+            f"{Q.distinct_ratio_sql('text')} as distinct_ratio, "
+            f"{Q.stopword_fraction_sql('text')} as stopword_fraction, "
+            f"{Q.keep_sql('text')} as keep "
+            "from documents"
+        ),
+        "langid": (
+            f"select doc_id, {L.langid_sql('text')} as pred_lang from documents"
+        ),
+        "flagship_pipeline": pipeline_oracle_sql(pages_cte, CFG),
+        "tok_counts": (
+            "select doc_id, "
+            f"{T.ws_token_count_sql('text')} as ws_tokens, "
+            f"{T.bpe_ish_token_count_sql('text')} as bpe_tokens "
+            "from documents"
+        ),
+        "fingerprint": (
+            f"select doc_id, {T.fingerprint_sql('text')} as fp from documents"
+        ),
+        "exact_dedup": DD.exact_dedup_sql(
+            f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id", T.fingerprint_sql("text")
+        ),
+        "minhash_signature": DD.minhash_signature_sql("documents", "text", "doc_id"),
+        "lsh_pairs": DD.lsh_candidate_pairs_sql(
+            f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id"
+        ),
+        "jaccard_pairs": DD.jaccard_pairs_sql(
+            f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id"
+        ),
+        "simhash": DD.simhash_signature_sql("documents", "text", "doc_id"),
+        "cosine_topk": SIM.cosine_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        # perplexity_udf / media_scrub / clean_text_udf: model/binary UDF
+        # stages — intentionally no SQL twin (driver rows-only check;
+        # pytest locks their numbers against plain-Python reimplementations).
+    }

@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+Not present in the reference (its only dedup-shaped logic is the
+anti-membership skip, smparsers.py:207) — these are the web-scale
+extensions the engine needs as first-class components:
+
+- exact dedup: hash-groupBy on a normalized fingerprint. One shuffle on
+  the fingerprint; at 100 TB this is the canonical first pass.
+- MinHash + LSH: shingle → k minhashes → band → bucket self-join. The
+  self-join is on (band_idx, band_key), so candidate generation never
+  compares all pairs — the only quadratic blowup possible is within a
+  bucket, bounded by band tuning.
+- SimHash: 16-bit majority-vote signature; near-dups collide exactly.
+- n-gram Jaccard: exact verification on LSH candidate pairs.
+
+Hash portability: every hash here is md5-derived so the DuckDB oracle
+reproduces it bit-for-bit. The at-scale variants swap md5 for xxhash64
+(``*_fast`` helpers) — same topology, cheaper hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint_expr, fingerprint_fast_expr
+
+SHINGLE_K = 3          # words per shingle
+NUM_HASHES = 4         # minhash signature length
+BAND_SIZE = 2          # hashes per LSH band → NUM_HASHES/BAND_SIZE bands
+SIMHASH_BITS = 16
+
+
+# --- exact dedup ------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id representative of each normalized-text group."""
+    fp = df.withColumn("fp", fingerprint_expr(F.col(text_col)))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return keep.select(id_col, "fp")
+
+
+def exact_dedup_sql(table_sql: str, text_col: str, id_col: str, fp_sql: str) -> str:
+    return (
+        f"select min({id_col}) as {id_col}, {fp_sql} as fp "
+        f"from {table_sql} group by fp"
+    )
+
+
+def exact_dedup_fast(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """At-scale variant: xxhash64 fingerprint (no oracle twin)."""
+    fp = df.withColumn("fp", fingerprint_fast_expr(F.col(text_col)))
+    return fp.groupBy("fp").agg(F.min(id_col).alias(id_col)).select(id_col, "fp")
+
+
+# --- shingles / minhash -----------------------------------------------------
+
+def shingles_expr(text: Column, k: int = SHINGLE_K) -> Column:
+    """Array of k-word shingles (distinct), lowercase whitespace tokens."""
+    w = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(w)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+    # guard: Spark's sequence(1, 0) counts DOWN; short docs get [] instead
+    empty = F.array().cast("array<string>")
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(empty)
+
+
+def shingles_sql(text: str, k: int = SHINGLE_K) -> str:
+    w = f"regexp_split_to_array(trim(lower({text})), '\\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({w}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({w}, i, i + {k - 1}), ' ')))"
+    )
+
+
+def minhash_expr(shingles: Column, seed: int) -> Column:
+    """One minhash: min over md5(seed:shingle) hex strings (portable)."""
+    return F.array_min(
+        F.transform(shingles, lambda x: F.md5(F.concat(F.lit(f"{seed}:"), x).cast("binary")))
+    )
+
+
+def minhash_sql(shingles: str, seed: int) -> str:
+    return (
+        f"list_aggregate(list_transform({shingles}, "
+        f"x -> md5('{seed}:' || x)), 'min')"
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(id, mh_0..mh_{n-1}) minhash signature table."""
+    sh = shingles_expr(F.col(text_col))
+    cols = [F.col(id_col)] + [
+        minhash_expr(sh, seed).alias(f"mh_{seed}") for seed in range(num_hashes)
+    ]
+    return df.select(*cols)
+
+
+def minhash_signature_sql(table_sql: str, text_col: str, id_col: str,
+                          num_hashes: int = NUM_HASHES) -> str:
+    sh = shingles_sql(text_col)
+    cols = ", ".join(
+        f"{minhash_sql(sh, seed)} as mh_{seed}" for seed in range(num_hashes)
+    )
+    return f"select {id_col}, {cols} from {table_sql}"
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                        num_hashes: int = NUM_HASHES,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """MinHash-LSH candidate duplicate pairs (id_a < id_b).
+
+    Bands of `band_size` minhashes; docs sharing any band bucket become
+    a candidate pair. The bucket join shuffles on the band key — at
+    scale, band keys are high-cardinality md5s, so no skew.
+    """
+    sig = minhash_signature(df, text_col, id_col, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat(*cols).cast("binary")).alias("bkey"),
+            )
+        )
+    exploded = bands[0]
+    for extra in bands[1:]:
+        exploded = exploded.unionByName(extra)
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    pairs = (
+        left.join(right, on=["band", "bkey"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def lsh_candidate_pairs_sql(table_sql: str, text_col: str, id_col: str,
+                            num_hashes: int = NUM_HASHES,
+                            band_size: int = BAND_SIZE) -> str:
+    sig = minhash_signature_sql(table_sql, text_col, id_col, num_hashes)
+    n_bands = num_hashes // band_size
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        band_selects.append(
+            f"select {id_col}, {b} as band, md5({cols}) as bkey from sig"
+        )
+    bands_union = " union all ".join(band_selects)
+    return (
+        f"with sig as ({sig}), bands as ({bands_union}) "
+        f"select distinct l.{id_col} as id_a, r.{id_col} as id_b "
+        f"from bands l join bands r using (band, bkey) "
+        f"where l.{id_col} < r.{id_col}"
+    )
+
+
+# --- n-gram Jaccard ---------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact Jaccard over distinct shingles for LSH candidate pairs.
+
+    Candidate generation via LSH keeps this linear-ish; the verification
+    join re-attaches shingle arrays and computes
+    |A∩B| / |A∪B| with native array ops.
+    """
+    cands = lsh_candidate_pairs(df, text_col, id_col)
+    sh = df.select(
+        F.col(id_col), shingles_expr(F.col(text_col)).alias("sh")
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0)),
+        6,
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def jaccard_pairs_sql(table_sql: str, text_col: str, id_col: str,
+                      threshold: float = 0.8) -> str:
+    cands = lsh_candidate_pairs_sql(table_sql, text_col, id_col)
+    sh = shingles_sql(text_col)
+    return (
+        f"with cands as ({cands}), "
+        f"sh as (select {id_col}, {sh} as sh from {table_sql}) "
+        f"select id_a, id_b, jac as jaccard from ("
+        f"  select id_a, id_b, "
+        f"  round(len(list_intersect(a.sh, b.sh)) * 1.0 "
+        f"        / nullif(len(list_distinct(list_concat(a.sh, b.sh))), 0), 6) as jac "
+        f"  from cands join sh a on cands.id_a = a.{id_col} "
+        f"  join sh b on cands.id_b = b.{id_col}) "
+        f"where jac >= {threshold}"
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def _token_bit_expr(token: Column, j: int) -> Column:
+    """Pseudo-random bit j of a token: parity of hex digit j of md5."""
+    return F.ascii(F.substring(F.md5(token.cast("binary")), j + 1, 1)) % 2
+
+
+def simhash_signature(df: DataFrame, text_col: str, id_col: str,
+                      bits: int = SIMHASH_BITS) -> DataFrame:
+    """(id, simhash bitstring): majority vote over token hash bits.
+
+    explode tokens → one groupBy(id) computing all bit sums in a single
+    shuffled pass → assemble bitstring.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    votes = [
+        F.sum(_token_bit_expr(F.col("tok"), j) * 2 - 1).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    bit_chars = [
+        F.when(F.col(f"v_{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return agg.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_signature_sql(table_sql: str, text_col: str, id_col: str,
+                          bits: int = SIMHASH_BITS) -> str:
+    votes = ", ".join(
+        f"sum((ascii(substr(md5(tok), {j + 1}, 1)) % 2) * 2 - 1) as v_{j}"
+        for j in range(bits)
+    )
+    bit_chars = " || ".join(
+        f"(case when v_{j} > 0 then '1' else '0' end)" for j in range(bits)
+    )
+    return (
+        f"with toks as (select {id_col}, unnest(regexp_split_to_array("
+        f"trim(lower({text_col})), '\\s+')) as tok from {table_sql}), "
+        f"agg as (select {id_col}, {votes} from toks group by {id_col}) "
+        f"select {id_col}, {bit_chars} as simhash from agg"
+    )

@@ -1,0 +1,139 @@
+"""Flagship plan: langid → quality heuristics → scrub → keep/drop.
+
+The end-to-end dataflow the reference runs per platform (scan → date
+filter → scrub → aggregate → sink; /root/reference/SMParser/
+smparsers.py:220-231) generalized to the web-page table:
+
+    scan (url, warc_ts, html, text, lang)
+      → predicted language        (column ops; UDF variant for bench)
+      → heuristic quality columns (pure Catalyst)
+      → perplexity                (pandas UDF, optional stage)
+      → date-window filter        (pushed to the scan)
+      → PII scrub                 (native regexp_replace bank)
+      → keep/drop decision
+      → audit metrics via observe()
+
+Stage order matters for the physical plan: the date filter is expressed
+BEFORE any UDF stage so Catalyst pushes it to the scan (PushedFilters)
+— UDF projections are optimization barriers, filters must never sit
+above them (the reference does the same by hand: date-skip before
+clean_text, smparsers.py:87→90).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..config import ScrubConfig
+from ..functions import quality as Q
+from ..functions.langid import langid_expr, langid_pandas_udf
+from ..functions.perplexity import perplexity_pandas_udf
+from ..functions.scrub import clean_text_pandas_udf, scrub_bank_expr
+from ..operators.dates import in_date_range_expr
+
+MAX_PERPLEXITY = 40.0  # junk gate; English text scores ~15-25 under the model
+
+
+@dataclass
+class PipelineResult:
+    df: DataFrame
+    observation: Observation | None
+
+
+def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the heuristic bank as pure column expressions."""
+    t = F.col(text_col)
+    return df.withColumns({
+        "n_chars": Q.n_chars_expr(t),
+        "n_words": Q.n_words_expr(t),
+        "mean_word_len": Q.mean_word_len_expr(t),
+        "symbol_ratio": Q.symbol_ratio_expr(t),
+        "distinct_ratio": Q.distinct_ratio_expr(t),
+        "stopword_fraction": Q.stopword_fraction_expr(t),
+    })
+
+
+def filter_scrub_pipeline(
+    pages: DataFrame,
+    cfg: ScrubConfig | None = None,
+    use_model_udfs: bool = False,
+    use_ner: bool = False,
+    with_observe: bool = False,
+) -> PipelineResult:
+    """The flagship filter+scrub plan over the web-page table.
+
+    ``use_model_udfs=False`` keeps every stage a column expression →
+    the whole plan is oracle-checkable SQL. ``True`` adds the
+    fastText-shaped langid UDF and the KenLM-shaped perplexity UDF
+    (bench configuration; pytest locks UDF↔expr agreement).
+    """
+    cfg = cfg or ScrubConfig()
+
+    df = pages
+    # date window first — Catalyst pushes this into the scan
+    df = df.filter(in_date_range_expr(F.col("warc_ts"), cfg.first_date, cfg.last_date))
+
+    df = quality_columns(df)
+    if use_model_udfs:
+        df = df.withColumn("pred_lang", langid_pandas_udf()(F.col("text")))
+        df = df.withColumn("perplexity", perplexity_pandas_udf()(F.col("text")))
+    else:
+        df = df.withColumn("pred_lang", langid_expr(F.col("text")))
+
+    keep = Q.keep_expr(F.col("text"))
+    if use_model_udfs:
+        keep = keep & (F.col("perplexity") <= MAX_PERPLEXITY)
+    df = df.withColumn("keep", keep)
+
+    scrubbed = scrub_bank_expr(F.col("text"))
+    df = df.withColumn("scrubbed_text", scrubbed)
+    if use_ner:
+        df = df.withColumn(
+            "scrubbed_text", clean_text_pandas_udf(cfg)(F.col("scrubbed_text"))
+        )
+
+    obs = None
+    if with_observe:
+        obs = Observation("audit")
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in_window"),
+            F.sum(F.col("keep").cast("long")).alias("rows_kept"),
+            F.sum((~F.col("keep")).cast("long")).alias("rows_dropped"),
+        )
+
+    out = df.select(
+        "url", "warc_ts", "lang", "pred_lang",
+        "n_chars", "n_words", "mean_word_len", "symbol_ratio",
+        "distinct_ratio", "stopword_fraction",
+        *(["perplexity"] if use_model_udfs else []),
+        "keep", "scrubbed_text",
+    )
+    return PipelineResult(df=out, observation=obs)
+
+
+def pipeline_oracle_sql(pages_cte: str, cfg: ScrubConfig | None = None) -> str:
+    """DuckDB twin of the column-only pipeline (use_model_udfs=False)."""
+    from ..functions.langid import langid_sql
+    from ..functions.scrub import scrub_bank_sql
+    from ..operators.dates import in_date_range_sql
+
+    cfg = cfg or ScrubConfig()
+    return (
+        f"with pages as ({pages_cte}) "
+        f"select url, warc_ts, lang,"
+        f" {langid_sql('text')} as pred_lang,"
+        f" {Q.n_chars_sql('text')} as n_chars,"
+        f" {Q.n_words_sql('text')} as n_words,"
+        f" {Q.mean_word_len_sql('text')} as mean_word_len,"
+        f" {Q.symbol_ratio_sql('text')} as symbol_ratio,"
+        f" {Q.distinct_ratio_sql('text')} as distinct_ratio,"
+        f" {Q.stopword_fraction_sql('text')} as stopword_fraction,"
+        f" {Q.keep_sql('text')} as keep,"
+        f" {scrub_bank_sql('text')} as scrubbed_text"
+        f" from pages"
+        f" where {in_date_range_sql('warc_ts', cfg.first_date, cfg.last_date)}"
+    )
