@@ -60,7 +60,8 @@ SCRUB_BANK: list[tuple[str, str, str]] = [
     ("email", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "{{EMAIL}}"),
     ("handle", r"@\w+", "{{HANDLE}}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "{{SSN}}"),
-    ("phone", r"\b(\+?1[-. ]?)?(\(\d{3}\) ?|\d{3}[-. ])\d{3}[-. ]\d{4}\b", "{{PHONE}}"),
+    # \b sits inside the alternatives: a leading "(" has no word boundary
+    ("phone", r"(\b\+?1[-. ]?)?(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b", "{{PHONE}}"),
     ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "{{IP}}"),
     ("geo", r"-?\d{1,3}\.\d{3,}, ?-?\d{1,3}\.\d{3,}", "{{GEO}}"),
 ]

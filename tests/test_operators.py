@@ -1,0 +1,136 @@
+"""Operator semantics: joins, pivots, dedup, similarity, media, windows."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.operators.dedup import (
+    exact_dedup, jaccard_pairs, lsh_candidate_pairs, simhash_signature,
+)
+from social_media_pii_scrubber_spark.operators.joins import (
+    anti_join, semi_flag_join, zip_longest_join,
+)
+from social_media_pii_scrubber_spark.operators.media import scrub_media
+from social_media_pii_scrubber_spark.operators.pivots import (
+    extract_category_expr, pivot_count,
+)
+from social_media_pii_scrubber_spark.operators.similarity import (
+    cosine_topk, lsh_topk,
+)
+from social_media_pii_scrubber_spark.operators.windows import photo_seq
+
+
+class TestJoins:
+    def test_semi_flag(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"link": ["a", "b", "c"]}))
+        fav = spark.createDataFrame(pd.DataFrame({"link": ["b"]}))
+        got = {r.link: r.fav for r in semi_flag_join(df, fav, "link", "fav").collect()}
+        assert got == {"a": False, "b": True, "c": False}
+
+    def test_anti(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"k": ["a", "b", "c"]}))
+        ex = spark.createDataFrame(pd.DataFrame({"k": ["b"]}))
+        assert {r.k for r in anti_join(df, ex, "k").collect()} == {"a", "c"}
+
+    def test_zip_longest_fill(self, spark):
+        a = spark.createDataFrame(pd.DataFrame({"_ord": [1, 2, 3], "a": ["x", "y", "z"]}))
+        b = spark.createDataFrame(pd.DataFrame({"_ord": [1, 2], "b": ["p", "q"]}))
+        rows = {r.rn: (r.a, r.b) for r in zip_longest_join([a, b]).collect()}
+        assert rows == {1: ("x", "p"), 2: ("y", "q"), 3: ("z", "")}
+
+
+class TestPivots:
+    def test_last_match_wins(self, spark):
+        # 'small ring' contains both; 'ring' is later in the list → wins
+        df = spark.createDataFrame(pd.DataFrame({"t": ["small ring", "small bolt", "nothing"]}))
+        cats = ["small", "ring", "other"]
+        got = [r[0] for r in df.select(extract_category_expr(F.col("t"), cats)).collect()]
+        assert got == ["ring", "small", "other"]
+
+    def test_pivot_count_totals(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({
+            "g": ["x", "x", "y"], "c": ["p", "q", "p"],
+        }))
+        rows = {r.g: (r.total, r.p, r.q) for r in
+                pivot_count(df, "g", "c", ["p", "q"], total_name="total").collect()}
+        assert rows == {"x": (2, 1, 1), "y": (1, 1, 0)}
+
+
+class TestWindows:
+    def test_photo_seq_format(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"post": [1] * 28, "i": list(range(28))})
+        )
+        rows = photo_seq(df, "post", "i").orderBy("i").collect()
+        seqs = [r.photo_seq for r in rows]
+        assert seqs[0] == "0A" and seqs[25] == "0Z" and seqs[26] == "1A" and seqs[27] == "1B"
+
+
+class TestDedup:
+    def _docs(self, spark):
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog today",   # exact dup of 1
+                "the quick brown fox jumps over the lazy cat today",   # near dup
+                "completely different words appear here and nothing matches at all",
+            ],
+        }))
+
+    def test_exact_dedup(self, spark):
+        out = exact_dedup(self._docs(spark), "text", "doc_id")
+        assert {r.doc_id for r in out.collect()} == {1, 3, 4}
+
+    def test_lsh_finds_dups(self, spark):
+        pairs = {(r.id_a, r.id_b) for r in
+                 lsh_candidate_pairs(self._docs(spark), "text", "doc_id").collect()}
+        assert (1, 2) in pairs
+        assert all(4 not in p for p in pairs)
+
+    def test_jaccard_exact_dup_is_1(self, spark):
+        rows = {(r.id_a, r.id_b): r.jaccard for r in
+                jaccard_pairs(self._docs(spark), "text", "doc_id", threshold=0.0).collect()}
+        assert rows[(1, 2)] == 1.0
+        if (1, 3) in rows:
+            assert 0 < rows[(1, 3)] < 1.0
+
+    def test_simhash_identical_texts_match(self, spark):
+        sigs = {r.doc_id: r.simhash for r in
+                simhash_signature(self._docs(spark), "text", "doc_id").collect()}
+        assert sigs[1] == sigs[2]
+        assert len(sigs[1]) == 16 and set(sigs[1]) <= {"0", "1"}
+
+
+class TestSimilarity:
+    def test_topk_shape_and_selfsim(self, spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        out = cosine_topk(e, e.filter(F.col("vec_id") == 0), "vec_id", "embedding", k=3)
+        rows = out.collect()
+        assert len(rows) == 3
+        assert all(r.query_id == 0 and r.match_id != 0 for r in rows)
+        assert rows == sorted(rows, key=lambda r: r.rk)
+
+    def test_lsh_subset_of_brute_candidates(self, spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") == 0)
+        ann = lsh_topk(e, q, "vec_id", "embedding", k=3).collect()
+        assert 0 < len(ann) <= 3
+        # ANN cosines can't exceed the exact best
+        brute_best = cosine_topk(e, q, "vec_id", "embedding", k=1).collect()[0].cosine
+        assert all(r.cosine <= brute_best for r in ann)
+
+
+class TestMedia:
+    def test_scrub_media_ok_and_error_isolation(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({
+            "url": ["u1", "u2"],
+            "html": [b"0123456789" * 3, None],
+        }))
+        rows = {r.url: r for r in scrub_media(df).collect()}
+        ok = rows["u1"]
+        assert ok.status == "ok"
+        assert len(ok.scrubbed_bytes) == 30
+        assert ok.scrubbed_bytes != b"0123456789" * 3  # middle third masked
+        assert ok.width > 0 and ok.height > 0
+        bad = rows["u2"]
+        assert bad.status.startswith("error:") and bad.scrubbed_bytes is None

@@ -1,0 +1,128 @@
+"""Scrub fixtures: reference clean_text semantics, bank behavior, properties.
+
+Golden expectations are computed from a careful reading of the reference
+(/root/reference/SMParser/smparserbase.py:85-96) — the reference itself
+ships no tests (smparserbase.py:226-229), so these ARE the scrub-fixture
+tests the north rule points at.
+"""
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.config import FIXTURE_CONFIG, ScrubConfig
+from social_media_pii_scrubber_spark.functions.scrub import (
+    SCRUB_BANK,
+    clean_text_pandas_udf,
+    clean_text_python,
+    ner_scrub_text,
+    scrub_bank_expr,
+    scrub_bank_python,
+)
+
+CFG = FIXTURE_CONFIG  # Maggie Nail, username maggie.nail, aliases "megs, mags"
+
+
+class TestCleanTextReferenceSemantics:
+    def test_substitution_order_first_last_user(self):
+        # order: first → last → username → alias → handle (smparserbase.py:88-95)
+        out = clean_text_python("maggie Nail spoke", CFG, ner=False)
+        assert out == "{{FIRSTNAME}} {{LASTNAME}} spoke"
+
+    def test_case_insensitive_names(self):
+        assert clean_text_python("MAGGIE", CFG, ner=False) == "{{FIRSTNAME}}"
+        assert clean_text_python("nail", CFG, ner=False) == "{{LASTNAME}}"
+
+    def test_alias_bug_case_sensitive_count2(self):
+        # reference passes re.I as count (smparserbase.py:94):
+        # aliases are case-SENSITIVE and replace at most 2 occurrences
+        out = clean_text_python("megs megs megs Megs", CFG, ner=False)
+        assert out == "{{ALIAS}} {{ALIAS}} megs Megs"
+
+    def test_alias_fixed_mode(self):
+        cfg = ScrubConfig(
+            first_name=CFG.first_name, last_name=CFG.last_name,
+            username=CFG.username, person_alias=CFG.person_alias,
+            reproduce_alias_bug=False,
+        )
+        out = clean_text_python("megs megs megs Megs", cfg, ner=False)
+        assert out == "{{ALIAS}} {{ALIAS}} {{ALIAS}} {{ALIAS}}"
+
+    def test_handle_pattern_greedy(self):
+        # @\S* eats everything to the next whitespace (smparserbase.py:95)
+        out = clean_text_python("ping @some.user!now ok", CFG, ner=False)
+        assert out == "ping {{HANDLE}} ok"
+
+    def test_empty_alias_skipped(self):
+        cfg = ScrubConfig(first_name="A", last_name="B", person_alias="   ")
+        assert clean_text_python("xyz", cfg, ner=False) == "xyz"
+
+    def test_ner_standin_lexicon(self):
+        assert ner_scrub_text("I met Emma Watson today") == "I met {{NAME}} today"
+        # non-lexicon capitalized words survive
+        assert ner_scrub_text("Visit Paris today") == "Visit Paris today"
+        # lexicon name after non-name cap word is still caught
+        assert ner_scrub_text("Visit Emma today") == "Visit {{NAME}} today"
+
+
+class TestScrubBank:
+    @pytest.mark.parametrize("text,expect", [
+        ("mail me at bob.smith+x@corp.example.org now",
+         "mail me at {{EMAIL}} now"),
+        ("call 555-123-4567 or (212) 555-0199",
+         "call {{PHONE}} or {{PHONE}}"),
+        ("posted 2024-03-05 11:22:33 utc", "posted {{TIMESTAMP}} utc"),
+        ("see https://x.example/a?b=1 ok", "see {{URL}} ok"),
+        ("by @handle99 done", "by {{HANDLE}} done"),
+        ("ssn 123-45-6789 leaked", "ssn {{SSN}} leaked"),
+        ("at 40.7128, -74.0060 nyc", "at {{GEO}} nyc"),
+        ("ip 10.0.0.1 here", "ip {{IP}} here"),
+    ])
+    def test_bank_python(self, text, expect):
+        assert scrub_bank_python(text) == expect
+
+    def test_bank_spark_matches_python(self, spark):
+        texts = [
+            "bob@x.io and 555-123-4567 at 2024-01-02 10:11 see https://a.b/c @me",
+            "nothing sensitive here",
+            "40.7128, -74.0060 and 123-45-6789",
+        ]
+        df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+        got = [r[0] for r in df.select(scrub_bank_expr(F.col("t"))).collect()]
+        assert got == [scrub_bank_python(t) for t in texts]
+
+    def test_udf_matches_python(self, spark):
+        texts = ["maggie Nail megs megs megs @x", "Emma says hi", None]
+        df = spark.createDataFrame(pd.DataFrame({"t": texts}))
+        got = [r[0] for r in df.select(clean_text_pandas_udf(CFG)(F.col("t"))).collect()]
+        expect = [clean_text_python(t, CFG) if t is not None else None for t in texts]
+        assert got == expect
+
+
+class TestScrubProperties:
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_bank_idempotent(self, text):
+        once = scrub_bank_python(text)
+        assert scrub_bank_python(once) == once
+
+    @given(st.integers(min_value=0, max_value=10**9))
+    @settings(max_examples=100, deadline=None)
+    def test_no_email_survives(self, n):
+        t = f"reach me on user{n}@mail{n % 97}.example.com please"
+        out = scrub_bank_python(t)
+        assert "@" not in out.replace("{{EMAIL}}", "").replace("{{HANDLE}}", "")
+
+    @given(st.integers(min_value=0, max_value=9999))
+    @settings(max_examples=100, deadline=None)
+    def test_no_phone_survives(self, n):
+        t = f"call 555-{n % 1000:03d}-{n:04d} now"
+        assert "555-" not in scrub_bank_python(t)
+
+    def test_token_order_is_stable(self):
+        # bank order is part of the contract (SURVEY.md F1)
+        names = [n for n, _, _ in SCRUB_BANK]
+        assert names == ["timestamp", "url", "email", "handle", "ssn",
+                         "phone", "ip", "geo"]
