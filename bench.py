@@ -1,0 +1,126 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+The headline metric is the flagship filter+scrub pipeline's wall time
+over a generated Common-Crawl-style corpus (BASELINE.json metric =
+docs/sec end-to-end filter+scrub throughput); the per-query map also
+times the major operator families at the testdata SF.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     cores for local[] master (default 32)
+  BENCH_WEB_ROWS       generated web-corpus size (default 400_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.config import ScrubConfig
+from social_media_pii_scrubber_spark.operators import dedup as DD
+from social_media_pii_scrubber_spark.operators import similarity as SIM
+from social_media_pii_scrubber_spark.plans.pipeline import filter_scrub_pipeline
+from social_media_pii_scrubber_spark.session import get_spark
+from social_media_pii_scrubber_spark.sources.webpages import generate_webpages
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "400000"))
+CFG = ScrubConfig()
+
+
+def _count(df) -> int:
+    return df.count()
+
+
+def main() -> None:
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    t = lambda: time.time()
+    timings: dict[str, float] = {}
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+
+    # warm the JVM/scan paths once
+    _count(docs)
+
+    # q1: flagship filter+scrub over a generated web corpus (headline)
+    pages = generate_webpages(spark, WEB_ROWS).cache()
+    n_pages = _count(pages)  # materialize generation outside the timed run
+    t0 = t()
+    out = filter_scrub_pipeline(pages, CFG, use_model_udfs=True).df
+    rows_out = out.filter("keep").count()
+    timings["q1_filter_scrub_pipeline"] = t() - t0
+    docs_per_sec = n_pages / timings["q1_filter_scrub_pipeline"]
+
+    # q2: heuristics + scrub, column-only (no UDF stages)
+    t0 = t()
+    _count(filter_scrub_pipeline(pages, CFG, use_model_udfs=False).df.filter("keep"))
+    timings["q2_pipeline_column_only"] = t() - t0
+
+    # q3: exact dedup at corpus scale
+    t0 = t()
+    _count(DD.exact_dedup_fast(pages, "text", "url"))
+    timings["q3_exact_dedup"] = t() - t0
+
+    # q4: minhash LSH candidate pairs over the testdata documents
+    t0 = t()
+    _count(DD.lsh_candidate_pairs(docs, "text", "doc_id"))
+    timings["q4_minhash_lsh"] = t() - t0
+
+    # q5: simhash signatures
+    t0 = t()
+    _count(DD.simhash_signature(docs, "text", "doc_id"))
+    timings["q5_simhash"] = t() - t0
+
+    # q6: brute-force cosine top-k (10 queries x corpus)
+    t0 = t()
+    _count(SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=10))
+    timings["q6_cosine_topk"] = t() - t0
+
+    # q7: relational mix — join + agg + window over tpch-ish tables
+    t0 = t()
+    j = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    )
+    _count(j)
+    li = lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    _count(li)
+    timings["q7_relational_mix"] = t() - t0
+
+    pages.unpersist()
+    total = sum(timings.values())
+    print(json.dumps({
+        "metric": "end-to-end filter+scrub throughput (docs/sec) + operator timings",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": SF_DIR,
+        "web_rows": n_pages,
+        "kept_rows": rows_out,
+        "docs_per_sec": round(docs_per_sec, 1),
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -20,8 +20,6 @@ schema) is identical.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -93,26 +91,32 @@ def _get_model() -> dict[str, frozenset]:
 
 
 def _predict_series(s: pd.Series) -> pd.Series:
+    """Vectorized batch scoring: explode tokens once, isin per language,
+    groupby-sum back to rows — pandas C paths, no per-row Python."""
+    import numpy as np
+
     model = _get_model()
-
-    def predict(text: str | None) -> str | None:
-        if text is None:
-            return None
-        tokens = text.lower().split()
-        best_lang, best_score = UNKNOWN_LANG, 0
-        for lang in LANG_ORDER:
-            score = sum(1 for t in tokens if t in model[lang])
-            if score > best_score:
-                best_lang, best_score = lang, score
-        return best_lang
-
-    return s.map(predict)
+    notnull = s.notna()
+    texts = s[notnull]
+    out = pd.Series([None] * len(s), index=s.index, dtype=object)
+    if len(texts) == 0:
+        return out
+    tokens = texts.str.lower().str.split().explode()
+    best_score = pd.Series(0, index=texts.index, dtype="int64")
+    best_lang = pd.Series(UNKNOWN_LANG, index=texts.index, dtype=object)
+    for lang in LANG_ORDER:  # earlier languages keep ties (strict >)
+        hits = tokens.isin(model[lang]).groupby(level=0).sum()
+        score = hits.reindex(texts.index, fill_value=0)
+        better = score > best_score
+        best_lang[better] = lang
+        best_score = np.maximum(best_score, score)
+    out[notnull] = best_lang
+    return out
 
 
 def langid_pandas_udf():
     @pandas_udf("string")
-    def langid_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield _predict_series(s)
+    def langid_udf(s: pd.Series) -> pd.Series:
+        return _predict_series(s)
 
     return langid_udf

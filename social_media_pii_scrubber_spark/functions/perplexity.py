@@ -20,8 +20,6 @@ the UDF's numbers.
 from __future__ import annotations
 
 import math
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
@@ -77,26 +75,39 @@ def perplexity_python(text: str | None) -> float | None:
 
 
 def _score_series(s: pd.Series) -> pd.Series:
+    """Whole-batch vectorization: concatenate every row's bytes into one
+    buffer and reduce per-row with np.add.reduceat — zero per-row Python
+    beyond the encode. latin-1 maps code units 0-255 1:1; chars >255
+    become '?' (the OOV bucket)."""
     table = _get_table()
-
-    def score(text: str | None) -> float | None:
-        if text is None:
-            return None
-        if len(text) == 0:
-            return float("inf")
-        # bytes-level vectorization: latin-1 maps code units 0-255 1:1;
-        # chars >255 are encoded to '?' (OOV bucket) first.
-        raw = text.encode("latin-1", errors="replace")
-        arr = np.frombuffer(raw, dtype=np.uint8)
-        return round(float(np.exp(-table[arr].mean())), 4)
-
-    return s.map(score)
+    notnull = s.notna()
+    texts = s[notnull]
+    if len(texts) == 0:
+        return pd.Series([None] * len(s), index=s.index, dtype="float64")
+    encoded = texts.str.encode("latin-1", errors="replace")
+    lengths = encoded.str.len().to_numpy(dtype=np.int64)
+    buf = np.frombuffer(b"".join(encoded.to_numpy()), dtype=np.uint8)
+    logp = table[buf]
+    offsets = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    # reduceat needs non-empty segments; empty rows → inf afterwards
+    safe_offsets = np.minimum(offsets, max(len(buf) - 1, 0))
+    sums = (
+        np.add.reduceat(logp, safe_offsets)
+        if len(buf) else np.zeros(len(lengths))
+    )
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ppl = np.round(np.exp(-sums / lengths), 4)
+    ppl = np.where(lengths == 0, np.inf, ppl)
+    out = pd.Series(np.nan, index=s.index, dtype="float64")
+    out[notnull] = ppl
+    # nulls must reach Arrow as None (NaN is a *value* for doubles)
+    return out.astype(object).where(notnull, None)
 
 
 def perplexity_pandas_udf():
     @pandas_udf("double")
-    def perplexity_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield _score_series(s)
+    def perplexity_udf(s: pd.Series) -> pd.Series:
+        return _score_series(s)
 
     return perplexity_udf

@@ -93,12 +93,28 @@ def minhash_sql(shingles: str, seed: int) -> str:
 
 def minhash_signature(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = NUM_HASHES) -> DataFrame:
-    """(id, mh_0..mh_{n-1}) minhash signature table."""
-    sh = shingles_expr(F.col(text_col))
-    cols = [F.col(id_col)] + [
-        minhash_expr(sh, seed).alias(f"mh_{seed}") for seed in range(num_hashes)
+    """(id, mh_0..mh_{n-1}) minhash signature table.
+
+    Physical shape: explode shingles once → one groupBy(id) computing
+    every min(md5(seed:shingle)) as plain aggregates. This keeps the
+    expensive tokenize/shingle work to a single evaluation (the
+    HOF-array formulation re-inlines it once per seed and runs
+    interpreted — measured 4-16x slower), and the shuffle is tiny:
+    partial aggregation reduces map-side to one row per (id) before the
+    exchange. Docs shorter than the shingle width get a NULL signature
+    (array_min of empty ≡ min over no rows).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles_expr(F.col(text_col))).alias("sh"),
+    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("sh")).cast("binary"))
+        ).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
     ]
-    return df.select(*cols)
+    return toks.groupBy(id_col).agg(*aggs)
 
 
 def minhash_signature_sql(table_sql: str, text_col: str, id_col: str,
@@ -121,21 +137,26 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     """
     sig = minhash_signature(df, text_col, id_col, num_hashes)
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat(*cols).cast("binary")).alias("bkey"),
-            )
+    # ONE projection computes every band key, then posexplode — the
+    # expensive shingle+minhash work appears exactly once in the plan.
+    band_arr = F.array(*[
+        F.md5(
+            F.concat(
+                *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+            ).cast("binary")
         )
-    exploded = bands[0]
-    for extra in bands[1:]:
-        exploded = exploded.unionByName(extra)
-    left = exploded.alias("l")
-    right = exploded.alias("r")
+        for b in range(n_bands)
+    ])
+    bands = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bkey")
+    )
+    # explicit exchange on the join key: both sides of the self-join are
+    # then the SAME shuffle → Spark's ReusedExchange computes the
+    # signature once total instead of once per side (the naive plan
+    # recomputed shingles+md5 16x; see BENCH notes).
+    bands = bands.repartition("band", "bkey")
+    left = bands.alias("l")
+    right = bands.alias("r")
     pairs = (
         left.join(right, on=["band", "bkey"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

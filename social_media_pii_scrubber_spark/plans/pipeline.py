@@ -76,20 +76,34 @@ def filter_scrub_pipeline(
     # date window first — Catalyst pushes this into the scan
     df = df.filter(in_date_range_expr(F.col("warc_ts"), cfg.first_date, cfg.last_date))
 
+    # ALL heavy native work (heuristics, regex scrub, heuristic keep)
+    # lives in one whole-stage-codegen span BELOW the Python barrier —
+    # projections above ArrowEvalPython don't get codegen, so pushing
+    # the regex bank up there would fall back to interpreted eval.
     df = quality_columns(df)
+    heuristic_keep = (
+        F.col("n_words").between(Q.MIN_WORDS, Q.MAX_WORDS)
+        & (F.col("symbol_ratio") <= Q.MAX_SYMBOL_RATIO)
+        & (F.col("stopword_fraction") >= Q.MIN_STOPWORD_FRACTION)
+        & (F.col("distinct_ratio") >= Q.MIN_DISTINCT_RATIO)
+        & F.col("mean_word_len").between(Q.MIN_MEAN_WORD_LEN, Q.MAX_MEAN_WORD_LEN)
+    )
+    df = df.withColumn("keep", heuristic_keep)
+    df = df.withColumn("scrubbed_text", scrub_bank_expr(F.col("text")))
+
     if use_model_udfs:
-        df = df.withColumn("pred_lang", langid_pandas_udf()(F.col("text")))
-        df = df.withColumn("perplexity", perplexity_pandas_udf()(F.col("text")))
+        # both UDFs in one withColumns → Spark fuses them into a single
+        # ArrowEvalPython node (one Python round-trip, not two)
+        df = df.withColumns({
+            "pred_lang": langid_pandas_udf()(F.col("text")),
+            "perplexity": perplexity_pandas_udf()(F.col("text")),
+        })
+        df = df.withColumn(
+            "keep", F.col("keep") & (F.col("perplexity") <= MAX_PERPLEXITY)
+        )
     else:
         df = df.withColumn("pred_lang", langid_expr(F.col("text")))
 
-    keep = Q.keep_expr(F.col("text"))
-    if use_model_udfs:
-        keep = keep & (F.col("perplexity") <= MAX_PERPLEXITY)
-    df = df.withColumn("keep", keep)
-
-    scrubbed = scrub_bank_expr(F.col("text"))
-    df = df.withColumn("scrubbed_text", scrubbed)
     if use_ner:
         df = df.withColumn(
             "scrubbed_text", clean_text_pandas_udf(cfg)(F.col("scrubbed_text"))
