@@ -91,27 +91,28 @@ def _get_model() -> dict[str, frozenset]:
 
 
 def _predict_series(s: pd.Series) -> pd.Series:
-    """Vectorized batch scoring: explode tokens once, isin per language,
-    groupby-sum back to rows — pandas C paths, no per-row Python."""
-    import numpy as np
+    """Batch scoring with frozenset membership per token.
 
+    Measured faster than the explode+isin+groupby "vectorization" at
+    realistic doc lengths (set lookup is O(1) C-level; the exploded
+    frame's groupby dominates otherwise) — with a real fastText model
+    this whole body becomes ``model.predict(s.tolist())``.
+    """
     model = _get_model()
-    notnull = s.notna()
-    texts = s[notnull]
-    out = pd.Series([None] * len(s), index=s.index, dtype=object)
-    if len(texts) == 0:
-        return out
-    tokens = texts.str.lower().str.split().explode()
-    best_score = pd.Series(0, index=texts.index, dtype="int64")
-    best_lang = pd.Series(UNKNOWN_LANG, index=texts.index, dtype=object)
-    for lang in LANG_ORDER:  # earlier languages keep ties (strict >)
-        hits = tokens.isin(model[lang]).groupby(level=0).sum()
-        score = hits.reindex(texts.index, fill_value=0)
-        better = score > best_score
-        best_lang[better] = lang
-        best_score = np.maximum(best_score, score)
-    out[notnull] = best_lang
-    return out
+    langs = [(lang, model[lang]) for lang in LANG_ORDER]
+
+    def predict(text: str | None) -> str | None:
+        if text is None:
+            return None
+        tokens = text.lower().split()
+        best_lang, best_score = UNKNOWN_LANG, 0
+        for lang, markers in langs:
+            score = sum(t in markers for t in tokens)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        return best_lang
+
+    return s.map(predict)
 
 
 def langid_pandas_udf():

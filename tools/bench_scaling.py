@@ -1,0 +1,91 @@
+"""Scaling-efficiency measurement: N vs 4N cores on identical input.
+
+Sandbox stand-in for the north rule's two-cluster-size criterion
+(N vs 4N executors): the SAME flagship filter+scrub job over the SAME
+parquet input at local[8] and local[32]. Reports throughput at both
+plus efficiency = (T8/T32)/4 into stdout (and is summarized in
+BENCH.md / BASELINE.md).
+
+Each level runs in its own subprocess → fresh JVM, no warm-cache bias
+toward the second run; the corpus is written once beforehand so both
+levels read identical bytes.
+
+Usage: python tools/bench_scaling.py [rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from social_media_pii_scrubber_spark.session import get_spark
+from social_media_pii_scrubber_spark.plans.pipeline import filter_scrub_pipeline
+from social_media_pii_scrubber_spark.config import ScrubConfig
+
+cores = int(sys.argv[1]); src = sys.argv[2]
+spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
+                  shuffle_partitions=cores)
+pages = spark.read.parquet(src)
+n = pages.count()  # warm the scan metadata; not part of the timed job
+t0 = time.time()
+out = filter_scrub_pipeline(pages, ScrubConfig(), use_model_udfs=True).df
+kept = out.filter("keep").count()
+dt = time.time() - t0
+print(json.dumps({{"cores": cores, "rows": n, "kept": kept,
+                   "sec": round(dt, 3), "docs_per_sec": round(n / dt, 1)}}))
+spark.stop()
+"""
+
+
+def main() -> None:
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
+    workdir = tempfile.mkdtemp(prefix="scaling_corpus_")
+    src = os.path.join(workdir, "pages")
+
+    gen = (
+        "import sys; sys.path.insert(0, {repo!r})\n"
+        "from social_media_pii_scrubber_spark.session import get_spark\n"
+        "from social_media_pii_scrubber_spark.sources.webpages import generate_webpages\n"
+        "spark = get_spark(master='local[32]', shuffle_partitions=32)\n"
+        f"generate_webpages(spark, {rows}, partitions=64).write.mode('overwrite').parquet({src!r})\n"
+        "spark.stop()\n"
+    ).format(repo=REPO)
+    print(f"generating {rows} rows -> {src}", file=sys.stderr)
+    subprocess.run([sys.executable, "-c", gen], check=True,
+                   stderr=subprocess.DEVNULL)
+
+    results = {}
+    for cores in (8, 32):
+        print(f"running flagship pipeline at local[{cores}]...", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, "-c", RUNNER.format(repo=REPO), str(cores), src],
+            check=True, capture_output=True, text=True,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(line, file=sys.stderr)
+
+    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    efficiency = (t32 / t8) / 4
+    print(json.dumps({
+        "rows": rows,
+        "local8_docs_per_sec": t8,
+        "local8_sec": results[8]["sec"],
+        "local32_docs_per_sec": t32,
+        "local32_sec": results[32]["sec"],
+        "speedup_8_to_32": round(t32 / t8, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+    }))
+
+
+if __name__ == "__main__":
+    main()
