@@ -344,6 +344,77 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
 
 
+def q_s2_from_json(spark, sf):
+    """S2 — PERMISSIVE JSON parse; malformed docs dropped, never fail."""
+    from social_media_pii_scrubber_spark.operators.semistructured import (
+        drop_malformed, parse_json_permissive,
+    )
+    ev = _t(spark, sf, "events")
+    corrupted = F.when(
+        F.col("event_id") % 10 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    df = parse_json_permissive(ev.withColumn("raw", corrupted), "raw", "k int")
+    return drop_malformed(df).select(
+        "event_id", F.col("parsed.k").alias("k_val")
+    )
+
+
+def q_s3_txt_kv(spark, sf):
+    """S3 — '\\n'-field ': '-k/v record parse via str_to_map."""
+    ev = _t(spark, sf, "events")
+    rec = F.concat(
+        F.lit("Type: "), F.col("event_type"), F.lit("\n"),
+        F.lit("Value: "), F.col("value").cast("string"),
+    )
+    m = F.str_to_map(rec, F.lit("\n"), F.lit(": "))
+    return ev.select(
+        "event_id",
+        F.element_at(m, "Type").alias("rec_type"),
+        F.element_at(m, "Value").alias("rec_value"),
+    )
+
+
+def q_explode_pos(spark, sf):
+    """UDTF-ish nested flatten with position (posexplode)."""
+    ev = _t(spark, sf, "events")
+    chars = F.split(F.col("event_type"), "")
+    return ev.select(
+        "event_id", F.posexplode(chars).alias("pos", "ch")
+    ).withColumn("pos", F.col("pos") + 1)
+
+
+def q_u2_interleaved(spark, sf):
+    """U2 — parent rows + child rows interleaved into one payload."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000)
+    parents = o.select(
+        F.col("o_orderkey").alias("key"), F.lit("order").alias("kind"),
+        F.col("o_orderstatus").alias("detail"),
+    )
+    children = li.select(
+        F.col("l_orderkey").alias("key"), F.lit("line").alias("kind"),
+        F.col("l_linenumber").cast("string").alias("detail"),
+    )
+    return parents.unionByName(children)
+
+
+def q_p8_routing(spark, sf):
+    """P8 — conditional routing: one stream split into two outputs."""
+    ev = _t(spark, sf, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.lit("error_stream").alias("route")
+    )
+    normal = ev.filter(F.col("event_type") != "error").select(
+        "event_id", F.lit("main_stream").alias("route")
+    )
+    return errors.unionByName(normal)
+
+
+def q_rolling_fp(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", T.rolling_hash_expr(F.col("text")).alias("rh"))
+
+
 # --- UDF-backed (no SQL oracle; driver records rows-only check) -------------
 
 def q_perplexity_udf(spark, sf):
@@ -395,6 +466,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_pipeline": q_flagship_pipeline,
         "tok_counts": q_tok_counts,
         "fingerprint": q_fingerprint,
+        "s2_from_json": q_s2_from_json,
+        "s3_txt_kv": q_s3_txt_kv,
+        "explode_pos": q_explode_pos,
+        "u2_interleaved": q_u2_interleaved,
+        "p8_routing": q_p8_routing,
+        "rolling_fp": q_rolling_fp,
         "exact_dedup": q_exact_dedup,
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
@@ -555,6 +632,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": (
             f"select doc_id, {T.fingerprint_sql('text')} as fp from documents"
+        ),
+        "s2_from_json": (
+            "with raw as (select event_id, case when event_id % 10 = 0 "
+            "then substr(props, 1, 3) else props end as r from events) "
+            "select event_id, json_extract_string(r, '$.k')::int as k_val "
+            "from raw where json_valid(r)"
+        ),
+        "s3_txt_kv": (
+            "with recs as (select event_id, 'Type: ' || event_type || chr(10) || "
+            "'Value: ' || cast(value as varchar) as rec from events) "
+            "select event_id, regexp_extract(rec, 'Type: ([^\\n]*)', 1) as rec_type, "
+            "regexp_extract(rec, 'Value: ([^\\n]*)', 1) as rec_value from recs"
+        ),
+        "explode_pos": (
+            "select event_id, i as pos, ch from (select event_id, "
+            "unnest(string_split(event_type, '')) as ch, "
+            "generate_subscripts(string_split(event_type, ''), 1) as i from events)"
+        ),
+        "u2_interleaved": (
+            "select o_orderkey as key, 'order' as kind, o_orderstatus as detail "
+            "from orders where o_orderkey < 2000 "
+            "union all "
+            "select l_orderkey as key, 'line' as kind, cast(l_linenumber as varchar) as detail "
+            "from lineitem where l_orderkey < 2000"
+        ),
+        "p8_routing": (
+            "select event_id, case when event_type = 'error' then 'error_stream' "
+            "else 'main_stream' end as route from events"
+        ),
+        "rolling_fp": (
+            f"select doc_id, {T.rolling_hash_sql('text')} as rh from documents"
         ),
         "exact_dedup": DD.exact_dedup_sql(
             f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id", T.fingerprint_sql("text")

@@ -78,38 +78,48 @@ def langid_sql(text: str) -> str:
 # vectorized UDF path (fastText-shaped)
 # ---------------------------------------------------------------------------
 
-_MODEL_CACHE: dict[str, dict[str, frozenset]] = {}
+_MODEL_CACHE: dict[str, dict[str, int]] = {}
 
 
-def _get_model() -> dict[str, frozenset]:
-    """Lazy per-worker model init (stands in for fasttext.load_model)."""
+def _get_model() -> dict[str, int]:
+    """Lazy per-worker model init (stands in for fasttext.load_model).
+
+    One flat dict token → language index: scoring is a single pass over
+    the tokens with one O(1) lookup each (marker sets are disjoint).
+    """
     model = _MODEL_CACHE.get("langid")
     if model is None:
-        model = {lang: frozenset(m) for lang, m in LANG_MARKERS.items()}
+        model = {
+            m: i for i, lang in enumerate(LANG_ORDER) for m in LANG_MARKERS[lang]
+        }
         _MODEL_CACHE["langid"] = model
     return model
 
 
 def _predict_series(s: pd.Series) -> pd.Series:
-    """Batch scoring with frozenset membership per token.
+    """Batch scoring: one dict lookup per token, single pass.
 
-    Measured faster than the explode+isin+groupby "vectorization" at
-    realistic doc lengths (set lookup is O(1) C-level; the exploded
-    frame's groupby dominates otherwise) — with a real fastText model
-    this whole body becomes ``model.predict(s.tolist())``.
+    Measured faster than both the 4-pass frozenset loop and the
+    explode+isin+groupby pandas "vectorization" at realistic doc
+    lengths — with a real fastText model this whole body becomes
+    ``model.predict(s.tolist())``.
     """
-    model = _get_model()
-    langs = [(lang, model[lang]) for lang in LANG_ORDER]
+    token_lang = _get_model()
+    n_langs = len(LANG_ORDER)
+    get = token_lang.get
 
     def predict(text: str | None) -> str | None:
         if text is None:
             return None
-        tokens = text.lower().split()
+        scores = [0] * n_langs
+        for t in text.lower().split():
+            i = get(t)
+            if i is not None:
+                scores[i] += 1
         best_lang, best_score = UNKNOWN_LANG, 0
-        for lang, markers in langs:
-            score = sum(t in markers for t in tokens)
-            if score > best_score:
-                best_lang, best_score = lang, score
+        for i in range(n_langs):
+            if scores[i] > best_score:
+                best_lang, best_score = LANG_ORDER[i], scores[i]
         return best_lang
 
     return s.map(predict)

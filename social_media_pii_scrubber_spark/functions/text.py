@@ -67,6 +67,36 @@ def fingerprint_fast_expr(text: Column) -> Column:
     return F.xxhash64(norm)
 
 
+# 2^31-1 (Mersenne prime): acc*31 + 255 stays < 2^36 — no int64
+# overflow in either engine (2^61-1 overflowed the multiply)
+ROLLING_HASH_MOD = 2147483647
+ROLLING_HASH_SEED = 7
+
+
+def rolling_hash_expr(text: Column) -> Column:
+    """Polynomial rolling hash over character codes (portable fold).
+
+    h = fold(chars, seed, acc*31 + code mod 2^61-1) — the classic
+    Rabin-Karp document fingerprint, expressed as F.aggregate so it
+    stays JVM-side. DuckDB twin uses list_reduce; identical arithmetic
+    verified bit-for-bit.
+    """
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes,
+        F.lit(ROLLING_HASH_SEED).cast("long"),
+        lambda acc, x: (acc * 31 + x) % ROLLING_HASH_MOD,
+    )
+
+
+def rolling_hash_sql(text: str) -> str:
+    return (
+        f"list_reduce(list_prepend({ROLLING_HASH_SEED}::bigint, "
+        f"list_transform(string_split({text}, ''), c -> ascii(c)::bigint)), "
+        f"(acc, x) -> (acc * 31 + x) % {ROLLING_HASH_MOD})"
+    )
+
+
 # --- reference scalar functions --------------------------------------------
 
 def split_kv_expr(col: Column) -> Column:

@@ -38,9 +38,18 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
 
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    # Fixed, pre-touched heap + ParallelGC: G1's incremental heap
+    # commit/uncommit page-faults through the kernel on every expansion;
+    # at 32 allocation-heavy threads the mmap path serializes and system
+    # time hits ~70%. Pre-touching moves that cost to JVM startup
+    # (measured: string-heavy stage at local[32] went 32.4s → 4.5s).
+    jvm_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.extraJavaOptions", jvm_opts)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -48,7 +57,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
