@@ -334,6 +334,17 @@ def q_simhash(spark, sf):
     return DD.simhash_signature(d, "text", "doc_id")
 
 
+def q_embedding_dup_pairs(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    # plant exact dup vectors so the near-dup path has known targets
+    dups = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return DD.embedding_dup_pairs(
+        e.unionByName(dups), "embedding", "vec_id", threshold=0.95
+    )
+
+
 def q_cosine_topk(spark, sf):
     e = _t(spark, sf, "embeddings")
     return SIM.cosine_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
@@ -479,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "perplexity_udf": q_perplexity_udf,
         "media_scrub": q_media_scrub,
         "clean_text_udf": q_clean_text_udf,
@@ -676,6 +688,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash": DD.simhash_signature_sql("documents", "text", "doc_id"),
         "cosine_topk": SIM.cosine_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "embedding_dup_pairs": DD.embedding_dup_pairs_sql(
+            "(select vec_id, embedding from embeddings "
+            "union all select vec_id + 100000 as vec_id, embedding "
+            "from embeddings where vec_id < 10)",
+            "embedding", "vec_id", threshold=0.95,
+        ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
         # perplexity_udf / media_scrub / clean_text_udf: model/binary UDF
         # stages — intentionally no SQL twin (driver rows-only check;

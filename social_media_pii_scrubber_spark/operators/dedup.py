@@ -236,6 +236,52 @@ def jaccard_pairs_sql(table_sql: str, text_col: str, id_col: str,
     )
 
 
+# --- embedding-cosine near-dup ----------------------------------------------
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                        threshold: float = 0.95) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Candidate generation via the similarity module's random-hyperplane
+    LSH buckets (near-identical vectors land in the same bucket with
+    high probability), then exact cosine verification within buckets —
+    the self-join shuffles on the bucket key only, never all-pairs.
+    """
+    from .similarity import cosine_expr, lsh_bucket_expr
+
+    tagged = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket_expr(F.col(vec_col)).alias("bucket"),
+    ).repartition("bucket")
+    left = tagged.alias("l")
+    right = tagged.alias("r")
+    cos = cosine_expr(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"))
+    return (
+        left.join(right, on="bucket")
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dup_pairs_sql(table_sql: str, vec_col: str, id_col: str,
+                            threshold: float = 0.95) -> str:
+    from .similarity import cosine_sql, lsh_bucket_sql
+
+    cos = cosine_sql(f"l.{vec_col}", f"r.{vec_col}")
+    bl, br = lsh_bucket_sql(f"l.{vec_col}"), lsh_bucket_sql(f"r.{vec_col}")
+    return (
+        f"select l.{id_col} as id_a, r.{id_col} as id_b, {cos} as cosine "
+        f"from {table_sql} l join {table_sql} r "
+        f"on {bl} = {br} and l.{id_col} < r.{id_col} "
+        f"where {cos} >= {threshold}"
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 def _token_bit_expr(token: Column, j: int) -> Column:

@@ -20,7 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BinaryType, IntegerType, StringType, StructField, StructType,
+    ArrayType, BinaryType, FloatType, IntegerType, StringType,
+    StructField, StructType,
 )
 
 # output schema of the media-scrub stage: original key, transformed
@@ -105,3 +106,118 @@ def scrub_media(df: DataFrame, url_col: str = "url",
             yield pd.DataFrame(out)
 
     return df.select(url_col, bytes_col).mapInPandas(_scrub, MEDIA_SCRUB_SCHEMA)
+
+
+# --- feature extraction / resize / frame sampling ---------------------------
+# Same contract as scrub_media: real Spark plumbing (schema, Arrow batch
+# shape, error channel), deterministic fake kernels where the real
+# decoder libraries (PIL/ffmpeg) are absent from this environment.
+
+FEATURES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("features", ArrayType(FloatType())),
+    StructField("status", StringType()),
+])
+
+FEATURE_DIM = 16
+
+
+def extract_features(df: DataFrame, url_col: str = "url",
+                     bytes_col: str = "html") -> DataFrame:
+    """binary → fixed-dim float feature vector (CLIP-embedding shaped).
+
+    Fake kernel: 16 byte-histogram buckets, L1-normalized — replace
+    with a real vision encoder per worker in production.
+    """
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            urls, feats, status = [], [], []
+            for url, blob in zip(pdf[url_col], pdf[bytes_col]):
+                urls.append(url)
+                try:
+                    arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+                    total = max(int(hist.sum()), 1)
+                    feats.append((hist / total).astype("float32").tolist())
+                    status.append("ok")
+                except Exception as e:
+                    feats.append(None)
+                    status.append(f"error:{type(e).__name__}")
+            yield pd.DataFrame({"url": urls, "features": feats, "status": status})
+
+    return df.select(url_col, bytes_col).mapInPandas(_feat, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("resized_bytes", BinaryType()),
+    StructField("status", StringType()),
+])
+
+
+def resize_media(df: DataFrame, target_bytes: int = 1024,
+                 url_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """binary → size-bounded binary (thumbnail-shaped).
+
+    Fake kernel: deterministic stride subsampling to ≤ target_bytes —
+    stands in for PIL Image.resize; the Spark side (schema, batching,
+    error isolation) is the production shape.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, out, status = [], [], []
+            for url, blob in zip(pdf[url_col], pdf[bytes_col]):
+                urls.append(url)
+                try:
+                    b = bytes(blob)
+                    stride = max(1, len(b) // target_bytes)
+                    out.append(b[::stride][:target_bytes])
+                    status.append("ok")
+                except Exception as e:
+                    out.append(None)
+                    status.append(f"error:{type(e).__name__}")
+            yield pd.DataFrame({"url": urls, "resized_bytes": out, "status": status})
+
+    return df.select(url_col, bytes_col).mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_bytes", BinaryType()),
+    StructField("status", StringType()),
+])
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4,
+                  url_col: str = "url", bytes_col: str = "html") -> DataFrame:
+    """binary 'video' → N evenly-spaced frame rows (1:N fan-out).
+
+    Fake kernel: splits the blob into n equal chunks, one per frame —
+    stands in for ffmpeg keyframe extraction. Demonstrates the fan-out
+    shape (mapInPandas emitting multiple rows per input)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"url": [], "frame_idx": [], "frame_bytes": [], "status": []}
+            for url, blob in zip(pdf[url_col], pdf[bytes_col]):
+                try:
+                    b = bytes(blob)
+                    step = max(1, len(b) // n_frames)
+                    for i in range(n_frames):
+                        rows["url"].append(url)
+                        rows["frame_idx"].append(i)
+                        rows["frame_bytes"].append(b[i * step:(i + 1) * step])
+                        rows["status"].append("ok")
+                except Exception as e:
+                    rows["url"].append(url)
+                    rows["frame_idx"].append(None)
+                    rows["frame_bytes"].append(None)
+                    rows["status"].append(f"error:{type(e).__name__}")
+            yield pd.DataFrame(rows)
+
+    return df.select(url_col, bytes_col).mapInPandas(_frames, FRAMES_SCHEMA)

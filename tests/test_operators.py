@@ -121,6 +121,36 @@ class TestSimilarity:
 
 
 class TestMedia:
+    def test_extract_features_shape(self, spark):
+        from social_media_pii_scrubber_spark.operators.media import (
+            FEATURE_DIM, extract_features,
+        )
+        df = spark.createDataFrame(pd.DataFrame({
+            "url": ["u1", "u2"], "html": [b"abcdef" * 10, None],
+        }))
+        rows = {r.url: r for r in extract_features(df).collect()}
+        assert len(rows["u1"].features) == FEATURE_DIM
+        assert abs(sum(rows["u1"].features) - 1.0) < 1e-5
+        assert rows["u2"].status.startswith("error:")
+
+    def test_resize_bounds(self, spark):
+        from social_media_pii_scrubber_spark.operators.media import resize_media
+        df = spark.createDataFrame(pd.DataFrame({
+            "url": ["u1"], "html": [b"x" * 10000],
+        }))
+        r = resize_media(df, target_bytes=100).collect()[0]
+        assert r.status == "ok" and len(r.resized_bytes) <= 100
+
+    def test_sample_frames_fanout(self, spark):
+        from social_media_pii_scrubber_spark.operators.media import sample_frames
+        df = spark.createDataFrame(pd.DataFrame({
+            "url": ["u1"], "html": [bytes(range(100))],
+        }))
+        rows = sample_frames(df, n_frames=4).collect()
+        assert len(rows) == 4
+        assert [r.frame_idx for r in sorted(rows, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+        assert all(r.status == "ok" and len(r.frame_bytes) > 0 for r in rows)
+
     def test_scrub_media_ok_and_error_isolation(self, spark):
         df = spark.createDataFrame(pd.DataFrame({
             "url": ["u1", "u2"],

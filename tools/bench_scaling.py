@@ -10,7 +10,10 @@ Each level runs in its own subprocess → fresh JVM, no warm-cache bias
 toward the second run; the corpus is written once beforehand so both
 levels read identical bytes.
 
-Usage: python tools/bench_scaling.py [rows]
+Usage: python tools/bench_scaling.py [rows] [N] [4N]
+(default pair 8/32; pass e.g. `2 8` for the N=2 vs 4N=8 pair — useful
+because this shared host cannot scale ANY workload 8→32 at much above
+~0.75 efficiency, see BENCH.md)
 """
 
 from __future__ import annotations
@@ -64,6 +67,9 @@ spark.stop()
 
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    assert hi == 4 * lo, "pair must be N and 4N"
     workdir = tempfile.mkdtemp(prefix="scaling_corpus_")
     src = os.path.join(workdir, "pages")
 
@@ -81,7 +87,7 @@ def main() -> None:
 
     results = {}
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # same heap both legs
-    for cores in (8, 32):
+    for cores in (lo, hi):
         print(f"running flagship pipeline at local[{cores}]...", file=sys.stderr)
         proc = subprocess.run(
             [sys.executable, "-c", RUNNER.format(repo=REPO), str(cores), src],
@@ -92,15 +98,15 @@ def main() -> None:
         print(proc.stderr.strip().splitlines()[-4:], file=sys.stderr)
         print(line, file=sys.stderr)
 
-    t8, t32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
-    efficiency = (t32 / t8) / 4
+    tlo, thi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
+    efficiency = (thi / tlo) / 4
     print(json.dumps({
         "rows": rows,
-        "local8_docs_per_sec": t8,
-        "local8_sec": results[8]["sec"],
-        "local32_docs_per_sec": t32,
-        "local32_sec": results[32]["sec"],
-        "speedup_8_to_32": round(t32 / t8, 3),
+        f"local{lo}_docs_per_sec": tlo,
+        f"local{lo}_sec": results[lo]["sec"],
+        f"local{hi}_docs_per_sec": thi,
+        f"local{hi}_sec": results[hi]["sec"],
+        f"speedup_{lo}_to_{hi}": round(thi / tlo, 3),
         "scaling_efficiency": round(efficiency, 3),
         "target": 0.8,
     }))
