@@ -63,7 +63,7 @@ def main(argv=None) -> None:
         last_date=datetime.fromisoformat(args.last_date),
     )
 
-    if args.generate:
+    if args.generate is not None:
         pages = generate_webpages(spark, args.generate)
     else:
         pages = load_iceberg_or_parquet(spark, args.input)
