@@ -355,6 +355,28 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
 
 
+def q_f6_date_arith(spark, sf):
+    """F6 — add_months window derivation (smparserbase.py:98-103):
+    first_date = last_date - months_back months; weeks = days/7 + 2."""
+    ev = _t(spark, sf, "events")
+    months_back = (F.col("event_id") % 36 + 1).cast("int")
+    last = F.to_date(F.lit("2024-12-31"))
+    first = F.add_months(last, -months_back)
+    return ev.select(
+        "event_id",
+        months_back.alias("months_back"),
+        F.date_format(first, "yyyy-MM-dd").alias("first_date"),
+        (F.floor(F.datediff(last, first) / 7) + 2).cast("int").alias("num_weeks"),
+    )
+
+
+def q_w3_sort_limit(spark, sf):
+    """W3 — deterministic orderBy + top-k."""
+    o = _t(spark, sf, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(20) \
+        .select("o_orderkey", "o_totalprice")
+
+
 def q_s2_from_json(spark, sf):
     """S2 — PERMISSIVE JSON parse; malformed docs dropped, never fail."""
     from social_media_pii_scrubber_spark.operators.semistructured import (
@@ -477,6 +499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_pipeline": q_flagship_pipeline,
         "tok_counts": q_tok_counts,
         "fingerprint": q_fingerprint,
+        "f6_date_arith": q_f6_date_arith,
+        "w3_sort_limit": q_w3_sort_limit,
         "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
         "explode_pos": q_explode_pos,
@@ -644,6 +668,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": (
             f"select doc_id, {T.fingerprint_sql('text')} as fp from documents"
+        ),
+        "f6_date_arith": (
+            "select event_id, cast(event_id % 36 + 1 as int) as months_back, "
+            "strftime(date '2024-12-31' - to_months(cast(event_id % 36 + 1 as int)), '%Y-%m-%d') as first_date, "
+            "cast(floor(datediff('day', date '2024-12-31' - to_months(cast(event_id % 36 + 1 as int)), "
+            "date '2024-12-31') / 7) + 2 as int) as num_weeks "
+            "from events"
+        ),
+        "w3_sort_limit": (
+            "select o_orderkey, o_totalprice from orders "
+            "order by o_totalprice desc, o_orderkey limit 20"
         ),
         "s2_from_json": (
             "with raw as (select event_id, case when event_id % 10 = 0 "

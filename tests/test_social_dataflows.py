@@ -1,0 +1,229 @@
+"""Reference dataflow parity: FB/IG/TT/SC parsers on nested fixtures.
+
+Fixtures mirror the platform export shapes the reference reads
+(FIXTURES.md §3); expectations are hand-derived from the reference
+semantics (/root/reference/SMParser/smparsers.py).
+"""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from social_media_pii_scrubber_spark.config import ScrubConfig
+from social_media_pii_scrubber_spark.plans import social as S
+
+CFG = ScrubConfig(
+    candidate_id="011", first_name="Maggie", last_name="Nail",
+    username="Maggie Nail", person_alias="megs, mags",
+    months_back=24, last_date=datetime(2022, 3, 24),
+)
+IN_TS = 1640000000    # 2021-12-20, inside window
+OUT_TS = 1500000000   # 2017, outside window
+
+
+class TestFBReactions:
+    def test_pivot_with_totals(self, spark):
+        rows = [
+            Row(timestamp=IN_TS, title="X liked your photo",
+                data=[Row(reaction=Row(reaction="LIKE", actor="a"))]),
+            Row(timestamp=IN_TS, title="X liked your comment on a photo",
+                data=[Row(reaction=Row(reaction="LIKE", actor="a"))]),
+            Row(timestamp=IN_TS, title="loved a video",
+                data=[Row(reaction=Row(reaction="LOVE", actor="b"))]),
+            Row(timestamp=OUT_TS, title="old photo",
+                data=[Row(reaction=Row(reaction="LIKE", actor="a"))]),
+        ]
+        out = {r.Type: r for r in
+               S.fb_reactions_report(spark.createDataFrame(rows), CFG).collect()}
+        assert out["LIKE"].Total == 2
+        assert out["LIKE"].photo == 1      # "liked your photo"
+        # "comment on a photo": both match; 'comment' is later in the
+        # category list → last-match-wins... list order is photo(0),
+        # comment(1) → comment wins
+        assert out["LIKE"].comment == 1
+        assert out["LOVE"].video == 1
+        assert "LIKE" in out and len(out) == 2  # out-of-window dropped
+
+
+class TestFBPosts:
+    def _posts(self, spark):
+        return spark.createDataFrame([
+            Row(id=0, timestamp=IN_TS, title="Maggie posted",
+                data=[Row(post="hello from megs")],
+                attachments=[Row(data=[
+                    Row(media=Row(uri="photos/a.jpg", title="pic title",
+                                  description="with Maggie Nail",
+                                  comments=[
+                                      Row(author="Maggie Nail", comment="mine"),
+                                      Row(author="Friend X", comment="nice pic"),
+                                  ]),
+                        external_context=None),
+                    Row(media=Row(uri="photos/b.xyz", title="bad ext",
+                                  description=None, comments=None),
+                        external_context=None),
+                    Row(media=None,
+                        external_context=Row(uri="https://ex.example/link")),
+                ])]),
+            Row(id=1, timestamp=OUT_TS, title="too old", data=None,
+                attachments=None),
+        ])
+
+    def test_payload_shape(self, spark):
+        rows = S.fb_posts_payload(self._posts(spark), CFG).collect()
+        kinds = sorted(r.row_kind for r in rows)
+        # 1 post row + media row + external row (bad ext skipped); old post dropped
+        assert kinds == ["attachment", "attachment", "post"]
+        post = [r for r in rows if r.row_kind == "post"][0]
+        assert post.Caption == "hello from {{ALIAS}}; {{FIRSTNAME}} posted"
+        media = [r for r in rows if r.Location == "photos/a.jpg"][0]
+        assert media.Post == "media/FB/Post0/Photo_0_0A.jpg"
+        assert media["Subject Comments"] == '"mine"'
+        assert media["Friend Comments"] == '"nice pic"'
+        assert "{{FIRSTNAME}} {{LASTNAME}}" in media.Caption
+        ext = [r for r in rows if r.Location == "External"][0]
+        assert ext.Caption == ": https://ex.example/link"
+
+    def test_rem_comments_and_anti_join(self, spark):
+        rem = S.fb_rem_comments(self._posts(spark), CFG)
+        assert [r.comment for r in rem.collect()] == ["mine"]
+        comments = spark.createDataFrame([
+            Row(timestamp=IN_TS, attachments="url1",
+                data=[Row(comment=Row(comment="mine"))]),       # skipped (J2)
+            Row(timestamp=IN_TS, attachments="url2",
+                data=[Row(comment=Row(comment="fresh words"))]),
+            Row(timestamp=IN_TS, attachments="url3", data=None),  # null → ''
+            Row(timestamp=OUT_TS, attachments="url4",
+                data=[Row(comment=Row(comment="old"))]),        # window drop
+        ])
+        out = {r.URL: r for r in
+               S.fb_comments_payload(comments, rem, CFG).collect()}
+        assert set(out) == {"url2", "url3"}
+        assert out["url2"]["Subject Comments"] == "fresh words"
+        assert out["url3"]["Subject Comments"] == ""
+
+
+class TestIG:
+    def test_comments_routing_and_blank_drop(self, spark):
+        comments = spark.createDataFrame([
+            Row(title="Maggie Nail",
+                string_list_data=[Row(timestamp=IN_TS, value="my own comment")]),
+            Row(title="someone_else",
+                string_list_data=[Row(timestamp=IN_TS, value="their comment")]),
+            Row(title="someone_else",
+                string_list_data=[Row(timestamp=IN_TS, value="megs megs")]),
+            Row(title="someone_else",
+                string_list_data=[Row(timestamp=OUT_TS, value="too old")]),
+        ])
+        rows = S.ig_comments_routing(comments, CFG).collect()
+        routes = {r.Content: r.route for r in rows}
+        assert routes == {
+            "my own comment": "own_post",
+            "their comment": "other_post",
+            "{{ALIAS}} {{ALIAS}}": "other_post",
+        }
+
+    def test_posts_media_union(self, spark):
+        posts = spark.createDataFrame(
+            [Row(id=0, creation_timestamp=IN_TS, title="post cap ",
+                 media=[Row(uri="m/a.jpg", title="one", creation_timestamp=None),
+                        Row(uri="m/b.png", title="two", creation_timestamp=None),
+                        Row(uri="m/c.txt", title="bad", creation_timestamp=None)])],
+            schema=("id long, creation_timestamp long, title string, "
+                    "media array<struct<uri:string,title:string,"
+                    "creation_timestamp:long>>"),
+        )
+        stories = spark.createDataFrame(
+            [Row(uri="s/x.jpeg", creation_timestamp=IN_TS, title="story"),
+             Row(uri="s/old.jpeg", creation_timestamp=OUT_TS, title="old")])
+        pics = spark.createDataFrame(
+            [Row(uri="p/me.png", creation_timestamp=IN_TS, title="me")])
+        out = S.ig_posts_media(posts, stories, pics, CFG).collect()
+        paths = sorted(r.ImgPath for r in out)
+        assert paths == [
+            "media/IG/Post0/Photo_0_0A.jpg",
+            "media/IG/Post0/Photo_0_0B.png",
+            "media/IG/profile/p/me.png",
+            "media/IG/stories/s/x.jpeg",
+        ]
+        a = [r for r in out if r.fp_src == "m/a.jpg"][0]
+        assert a.Caption == "post cap one"
+        assert a.file_type == ".jpg"
+
+
+class TestTT:
+    def test_profile_redaction(self, spark):
+        kv = spark.createDataFrame([
+            Row(item="Username", value="maggie.nail"),
+            Row(item="Birthdate", value="1999-01-01"),
+            Row(item="Email Address", value="m@x.io"),
+            Row(item="Bio", value="hi i am Maggie"),
+        ])
+        out = {r["Profile Item"]: r.Value for r in
+               S.tt_profile_payload(kv, CFG).collect()}
+        assert out["Birthdate"] == "{{BIRTHDAY}}"
+        assert out["Email Address"] == "{{EMAIL}}"
+        assert out["Bio"] == "hi i am {{FIRSTNAME}}"
+
+    def test_video_browsing_flags(self, spark):
+        browsing = spark.createDataFrame([
+            Row(Date="2021-12-20 10:00:00", **{"Video Link": "v1"}),
+            Row(Date="2021-12-20 11:00:00", **{"Video Link": "v2"}),
+            Row(Date="2017-01-01 10:00:00", **{"Video Link": "v3"}),
+        ])
+        favorites = spark.createDataFrame([Row(Date="x", **{"Video Link": "v1"})])
+        likes = spark.createDataFrame([Row(Date="x", **{"Video Link": "v2"})])
+        rows = S.tt_video_browsing(browsing, favorites, likes, CFG).collect()
+        assert len(rows) == 2  # v3 outside window
+        flags = {r.Date: (r.Liked, r.Favorite) for r in rows}
+        assert flags["2021-12-20 10:00:00"] == ("", "Yes")
+        assert flags["2021-12-20 11:00:00"] == ("Yes", "")
+        assert all(r["Video Link"] == "{{URL}}" for r in rows)
+
+    def test_follow_counts(self, spark):
+        f1 = spark.createDataFrame([Row(Date="2021-12-20 10:00:00", Username="a"),
+                                    Row(Date="2017-01-01 10:00:00", Username="b")])
+        f2 = spark.createDataFrame([Row(Date="2021-12-21 10:00:00", Username="c")])
+        r = S.tt_follow_counts(f1, f2, CFG).collect()[0]
+        assert (r.Followers, r.Following) == (1, 1)
+
+
+class TestSC:
+    def test_friends_counts(self, spark):
+        m = spark.createDataFrame([
+            Row(metric="Friends", items=["a", "b", "c"]),
+            Row(metric="Blocked", items=["x"]),
+        ])
+        out = {r.Metric: r.Count for r in S.sc_friends_counts(m).collect()}
+        assert out == {"Friends": 3, "Blocked": 1}
+
+    def test_views_dynamic_pivot(self, spark):
+        v = spark.createDataFrame([
+            Row(viewer="alice", view_date="2021-12-20 10:00:00", media_type="STORY"),
+            Row(viewer="alice", view_date="2021-12-20 11:00:00", media_type=""),
+            Row(viewer="bob", view_date="2021-12-20 12:00:00", media_type="VIDEO"),
+            Row(viewer="bob", view_date="2017-01-01 12:00:00", media_type="VIDEO"),
+        ])
+        out = {r.Viewer: r.asDict() for r in S.sc_views(v, CFG).collect()}
+        assert out["alice"]["STORY"] == 1 and out["alice"]["OTHER"] == 1
+        assert out["bob"]["VIDEO"] == 1  # second view outside window
+
+    def test_time_spent_split(self, spark):
+        b = spark.createDataFrame([Row(entry="Chat: 40%"), Row(entry="Stories: 60%")])
+        out = {r.Category: r.Value for r in S.sc_time_spent(b).collect()}
+        assert out == {"Chat": "40%", "Stories": "60%"}
+
+    def test_interaction_types_zip(self, spark):
+        def side(vals):
+            return spark.createDataFrame(
+                [Row(_ord=i, value=v) for i, v in enumerate(vals)])
+        out = S.sc_interaction_types(
+            side(["sports", "music", "art"]), side(["chan1"]),
+            side(["pub1", "pub2"]), side(["cats"]),
+        ).orderBy("rn").collect()
+        assert len(out) == 3
+        assert out[0]["Profile Interest Category"] == "sports"
+        assert out[0]["Discover Channel"] == "chan1"
+        assert out[2]["Profile Interest Category"] == "art"
+        assert out[2]["Discover Channel"] == ""  # zip_longest fill
+        assert out[1]["Subscription"] == "pub2"
