@@ -1,0 +1,103 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Correct results with a wrong plan is a failure mode at 100 TB: these
+tests pin the plan properties the engine's performance depends on
+(broadcast joins stay broadcast, UDFs stay fused, filters reach the
+scan, self-joins reuse exchanges, aggregations stay partial).
+"""
+
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.config import ScrubConfig
+from social_media_pii_scrubber_spark.operators.dedup import (
+    exact_dedup, lsh_candidate_pairs,
+)
+from social_media_pii_scrubber_spark.operators.joins import anti_join, semi_flag_join
+from social_media_pii_scrubber_spark.plans.pipeline import filter_scrub_pipeline
+from social_media_pii_scrubber_spark.sources.webpages import webpages_from_documents
+
+CFG = ScrubConfig()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_single_python_barrier(spark, sf_dir):
+    """langid + perplexity must fuse into ONE ArrowEvalPython node —
+    two nodes means an extra JVM↔Python round-trip for every row."""
+    pages = webpages_from_documents(spark, sf_dir)
+    df = filter_scrub_pipeline(pages, CFG, use_model_udfs=True).df
+    p = plan_of(df)
+    assert p.count("ArrowEvalPython") == 1, p[:2000]
+
+
+def test_flagship_scrub_evaluated_once_in_codegen(spark, sf_dir):
+    """The regex scrub bank must be evaluated exactly once, inside a
+    WholeStageCodegen projection (Catalyst may legally hoist it above
+    the Python barrier — fine, as long as it stays codegen'd and isn't
+    duplicated)."""
+    pages = webpages_from_documents(spark, sf_dir)
+    df = filter_scrub_pipeline(pages, CFG, use_model_udfs=True).df
+    p = plan_of(df)
+    assert p.count("{{TIMESTAMP}}") == 1, "scrub chain duplicated in plan"
+    scrub_line = [l for l in p.split("\n") if "{{TIMESTAMP}}" in l][0]
+    assert scrub_line.lstrip().startswith("*"), (
+        "scrub projection fell out of whole-stage codegen: " + scrub_line[:120]
+    )
+
+
+def test_date_filter_pushed_to_parquet(spark, sf_dir):
+    """P1 on a stored timestamp column must reach PushedFilters."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.filter(F.col("ts").between("2024-01-05", "2024-01-10")).select("event_id")
+    p = plan_of(df)
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(ts" in p and "LessThanOrEqual(ts" in p, p
+
+
+def test_semi_flag_join_is_broadcast(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keys = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    p = plan_of(semi_flag_join(o, keys, "o_custkey", "flag"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_anti_join_is_broadcast(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    p = plan_of(anti_join(c, o, "c_custkey"))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_lsh_self_join_reuses_exchange(spark, sf_dir):
+    """The expensive minhash subtree must be computed once, not once
+    per self-join side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = lsh_candidate_pairs(docs, "text", "doc_id")
+    df.collect()  # AQE finalizes the plan
+    p = plan_of(df)
+    assert "ReusedExchange" in p, p[:3000]
+
+
+def test_exact_dedup_partial_aggregation(spark, sf_dir):
+    """groupBy(fingerprint) must map-side combine (two HashAggregates
+    around the exchange) — at 100 TB the partial agg IS the operator."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(exact_dedup(docs, "text", "doc_id"))
+    assert p.count("HashAggregate") >= 2
+    exchange_pos = p.find("Exchange hashpartitioning(fp")
+    assert exchange_pos > 0
+
+
+def test_column_only_pipeline_no_python(spark, sf_dir):
+    """use_model_udfs=False must have ZERO Python in the plan."""
+    pages = webpages_from_documents(spark, sf_dir)
+    df = filter_scrub_pipeline(pages, CFG, use_model_udfs=False).df
+    p = plan_of(df)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
