@@ -189,6 +189,42 @@ def lsh_candidate_pairs_sql(table_sql: str, text_col: str, id_col: str,
     )
 
 
+def lsh_candidate_pairs_fast(df: DataFrame, text_col: str, id_col: str,
+                             num_hashes: int = NUM_HASHES,
+                             band_size: int = BAND_SIZE) -> DataFrame:
+    """At-scale LSH variant: xxhash64 instead of md5 (no oracle twin).
+
+    Same topology as ``lsh_candidate_pairs``; the signature aggregation
+    and band keys use 64-bit xxhash (whole-stage codegen, no hex-string
+    materialization) — the version you run on 100 TB.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(shingles_expr(F.col(text_col))).alias("sh"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("sh"))).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    sig = toks.groupBy(id_col).agg(*aggs)
+    n_bands = num_hashes // band_size
+    band_arr = F.array(*[
+        F.xxhash64(*[F.col(f"mh_{b * band_size + j}") for j in range(band_size)])
+        for b in range(n_bands)
+    ])
+    bands = sig.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bkey")
+    ).repartition("band", "bkey")
+    left, right = bands.alias("l"), bands.alias("r")
+    return (
+        left.join(right, on=["band", "bkey"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 # --- n-gram Jaccard ---------------------------------------------------------
 
 def jaccard_pairs(df: DataFrame, text_col: str, id_col: str,

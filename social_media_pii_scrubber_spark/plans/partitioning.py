@@ -42,3 +42,26 @@ def repartition_by_url(
     if n_partitions:
         return df.repartition(n_partitions, host, salt)
     return df.repartition(host, salt)
+
+
+def salted_distinct_count(
+    df: DataFrame, key_col: str, value_col: str, n_salts: int = 16,
+) -> DataFrame:
+    """Exact per-key distinct count, skew-safe via two-phase salting.
+
+    ``groupBy(key).agg(countDistinct(value))`` puts EVERY distinct
+    value of a hot key through one reducer. Salting on
+    ``hash(value) % S`` splits that key across S reducers; because the
+    salt is value-derived, each distinct value lands in exactly one
+    salt bucket, so phase-2 ``sum`` of per-bucket distinct counts is
+    exact, not approximate. Output: (key_col, distinct_count).
+    """
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_salts))
+    phase1 = (
+        df.groupBy(F.col(key_col), salt.alias("_salt"))
+        .agg(F.count_distinct(F.col(value_col)).alias("_partial"))
+    )
+    return (
+        phase1.groupBy(key_col)
+        .agg(F.sum("_partial").alias("distinct_count"))
+    )

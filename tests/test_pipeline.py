@@ -101,6 +101,25 @@ class TestPartitioning:
         assert repartition_by_url(df, n_partitions=8).rdd.getNumPartitions() == 8
 
 
+class TestSaltedDistinct:
+    def test_exact_vs_direct(self, spark):
+        from social_media_pii_scrubber_spark.plans.partitioning import (
+            salted_distinct_count, url_host_expr,
+        )
+        df = generate_webpages(spark, 3000).select(
+            url_host_expr(F.col("url")).alias("host"), "url"
+        )
+        direct = {
+            r.host: r.n for r in
+            df.groupBy("host").agg(F.count_distinct("url").alias("n")).collect()
+        }
+        salted = {
+            r.host: r.distinct_count for r in
+            salted_distinct_count(df, "host", "url").collect()
+        }
+        assert salted == direct  # exact, not approximate
+
+
 class TestCheckpointResume:
     def test_resume_after_injected_failure(self, spark, pages, tmp_path):
         out = str(tmp_path / "out")
