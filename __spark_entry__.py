@@ -50,12 +50,21 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 PART_CATEGORIES = ["small", "red", "blue", "ring", "gear", "other"]
 
 
+def _pin_session(spark: SparkSession) -> None:
+    """Driver-provided sessions may not be UTC; epoch→timestamp
+    derivations (warc_ts, f4) must render identically to the DuckDB
+    oracle, which is naive-UTC."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _pin_session(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full filter+scrub pipeline on sf0.001 web pages."""
+    _pin_session(spark)
     pages = webpages_from_documents(spark, "/root/testdata/sf0.001")
     return filter_scrub_pipeline(pages, CFG).df
 
@@ -255,6 +264,7 @@ def q_f12_json_path(spark, sf):
 
 
 def q_scrub_bank(spark, sf):
+    _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return pages.select("url", S.scrub_bank_expr(F.col("text")).alias("scrubbed_text"))
 
@@ -280,6 +290,7 @@ def q_langid(spark, sf):
 
 
 def q_flagship_pipeline(spark, sf):
+    _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return filter_scrub_pipeline(pages, CFG).df
 
@@ -456,12 +467,14 @@ def q_perplexity_udf(spark, sf):
 
 
 def q_media_scrub(spark, sf):
+    _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return scrub_media(pages)
 
 
 def q_clean_text_udf(spark, sf):
     from social_media_pii_scrubber_spark.config import FIXTURE_CONFIG
+    _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return pages.select(
         "url", S.clean_text_pandas_udf(FIXTURE_CONFIG)(F.col("text")).alias("cleaned")

@@ -1,0 +1,74 @@
+"""Cross-engine fuzz: Spark exprs vs their DuckDB SQL twins.
+
+Every column-expression function ships with a DuckDB renderer used as
+the correctness oracle; this test feeds both engines adversarial
+PII-shaped strings and asserts bit-identical outputs, guarding against
+Java-regex vs RE2 semantic drift (word boundaries, char classes) and
+float-rounding differences.
+"""
+
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.functions import langid as L
+from social_media_pii_scrubber_spark.functions import quality as Q
+from social_media_pii_scrubber_spark.functions import scrub as S
+from social_media_pii_scrubber_spark.functions import text as T
+
+FRAGMENTS = [
+    "user_1@a-b.co", "@@handle", "a@b", "x@y.z.museum", "+1 (212) 555-0199",
+    "1-555-123-4567x", "2024-12-31T23:59", "2024-13-45", "999.999.999.999",
+    "0.0.0.0", "-91.123456, 181.000001", "https://a/%20b?c=d#e", "http://",
+    "@", "@_", "word@", "123-45-67890", "55-123-4567", " (555)555-5555 ",
+    "tab\tsep", "many   spaces", "_underscore_", "end.", "'quote'", 'a"b',
+    "CAPS LOCK TEXT", "mIxEd CaSe", "semi;colon", "2024-01-01 00:00:00.123",
+    "12:30", "999-99-9999", "@h@h@h", "a.b@c.d@e.f", "<tag>x</tag>", "%%%",
+    "the der le el und pas que", "is ist est",
+]
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    random.seed(7)
+    texts = [
+        " ".join(random.choice(FRAGMENTS) for _ in range(random.randint(1, 6)))
+        for _ in range(300)
+    ]
+    return texts + ["", " ", "a"]
+
+
+def test_all_twins_agree(spark, corpora):
+    df = spark.createDataFrame(pd.DataFrame({"t": corpora}))
+    sp = df.select(
+        S.scrub_bank_expr(F.col("t")).alias("scrub"),
+        Q.n_words_expr(F.col("t")).alias("nw"),
+        Q.symbol_ratio_expr(F.col("t")).alias("sr"),
+        Q.stopword_fraction_expr(F.col("t")).alias("sw"),
+        Q.mean_word_len_expr(F.col("t")).alias("mwl"),
+        Q.distinct_ratio_expr(F.col("t")).alias("dr"),
+        L.langid_expr(F.col("t")).alias("lang"),
+        T.bpe_ish_token_count_expr(F.col("t")).alias("bpe"),
+        T.fingerprint_expr(F.col("t")).alias("fp"),
+        T.rolling_hash_expr(F.col("t")).alias("rh"),
+    ).toPandas()
+
+    con = duckdb.connect()
+    con.register("tt", pd.DataFrame({"t": corpora}))
+    du = con.sql(
+        f"select {S.scrub_bank_sql('t')} as scrub, {Q.n_words_sql('t')} as nw, "
+        f"{Q.symbol_ratio_sql('t')} as sr, {Q.stopword_fraction_sql('t')} as sw, "
+        f"{Q.mean_word_len_sql('t')} as mwl, {Q.distinct_ratio_sql('t')} as dr, "
+        f"{L.langid_sql('t')} as lang, {T.bpe_ish_token_count_sql('t')} as bpe, "
+        f"{T.fingerprint_sql('t')} as fp, {T.rolling_hash_sql('t')} as rh from tt"
+    ).df()
+
+    for col in sp.columns:
+        mism = sp[col].astype(str) != du[col].astype(str)
+        assert not mism.any(), (
+            col,
+            [(corpora[i], sp[col][i], du[col][i]) for i in mism[mism].index[:3]],
+        )
