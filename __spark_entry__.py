@@ -366,6 +366,21 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
 
 
+def q_a3_rollup(spark, sf):
+    """A3's Total column family via rollup (SURVEY §2.4: grouping sets
+    are the idiomatic Spark spelling of the reference's per-type totals)."""
+    c = _t(spark, sf, "customer")
+    return (
+        c.rollup("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "cnt",
+        )
+    )
+
+
 def q_f6_date_arith(spark, sf):
     """F6 — add_months window derivation (smparserbase.py:98-103):
     first_date = last_date - months_back months; weeks = days/7 + 2."""
@@ -512,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_pipeline": q_flagship_pipeline,
         "tok_counts": q_tok_counts,
         "fingerprint": q_fingerprint,
+        "a3_rollup": q_a3_rollup,
         "f6_date_arith": q_f6_date_arith,
         "w3_sort_limit": q_w3_sort_limit,
         "s2_from_json": q_s2_from_json,
@@ -681,6 +697,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": (
             f"select doc_id, {T.fingerprint_sql('text')} as fp from documents"
+        ),
+        "a3_rollup": (
+            "select coalesce(cast(c_nationkey as varchar), 'ALL') as nation, "
+            "coalesce(c_mktsegment, 'ALL') as segment, count(*) as cnt "
+            "from customer group by rollup(c_nationkey, c_mktsegment)"
         ),
         "f6_date_arith": (
             "select event_id, cast(event_id % 36 + 1 as int) as months_back, "
