@@ -17,7 +17,10 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH_ROWS = 10_000  # ~doc-sized rows; keeps Arrow batches in L2-friendly sizes
+# ~35 MB Arrow batches at ~700 B/doc: measured marginally faster than
+# 10k-row batches on the flagship (fewer JVM↔Python handoffs) and far
+# fewer per-batch Python dispatch overheads on cold workers
+ARROW_BATCH_ROWS = 50_000
 
 
 def get_spark(
