@@ -61,7 +61,12 @@ def pivot_count(
         .agg(F.count(F.lit(1)))
         .na.fill(0, categories)
     )
-    total = sum((F.col(c) for c in categories), F.lit(0)).alias(total_name)
+    # Total = sum over the LISTED categories only (rows whose pivot value
+    # is outside `categories` are not counted) — the SQL twin renders the
+    # same sum-of-category-counts. Cast bigint explicitly: the driver's
+    # value hash is type-sensitive and the seed literal would otherwise
+    # leave INT in the mix.
+    total = sum((F.col(c) for c in categories), F.lit(0)).cast("bigint").alias(total_name)
     return pivoted.select(group_col, total, *categories)
 
 
@@ -69,13 +74,21 @@ def pivot_count_sql(
     table_sql: str, group_col: str, pivot_col: str, categories: list[str],
     total_name: str = "Total",
 ) -> str:
-    """DuckDB twin of ``pivot_count`` via SUM(CASE...) columns."""
-    cat_cols = ", ".join(
-        f"coalesce(sum(case when {pivot_col} = '{c}' then 1 end), 0) as \"{c}\""
-        for c in categories
-    )
+    """DuckDB twin of ``pivot_count``.
+
+    count(case...) (BIGINT) rather than sum(case...) — DuckDB's sum
+    returns HUGEINT, which the driver's type-sensitive value hash
+    distinguishes from Spark's BIGINT counts. Total is the sum of the
+    per-category counts, matching the Spark side exactly even when pivot
+    values fall outside `categories`.
+    """
+    counts = {
+        c: f"count(case when {pivot_col} = '{c}' then 1 end)" for c in categories
+    }
+    cat_cols = ", ".join(f'{e} as "{c}"' for c, e in counts.items())
+    total = " + ".join(counts.values())
     return (
-        f"select {group_col}, count(*) as {total_name}, {cat_cols} "
+        f"select {group_col}, cast({total} as bigint) as {total_name}, {cat_cols} "
         f"from {table_sql} group by {group_col}"
     )
 

@@ -62,5 +62,25 @@ def bucket_lineage(scored: DataFrame, run_id: str, n_buckets: int = 256,
 
 def append_audit(scored: DataFrame, audit_path: str, run_id: str,
                  n_buckets: int = 256) -> None:
-    """Append this run's lineage rows to the audit table."""
-    bucket_lineage(scored, run_id, n_buckets).write.mode("append").parquet(audit_path)
+    """Write this run's lineage rows, idempotent per run_id.
+
+    Dynamic partition overwrite on run_id: re-running the same run_id
+    (checkpoint resume, retry) REPLACES that run's audit rows instead of
+    appending duplicates; other run_ids are untouched.
+    """
+    (
+        bucket_lineage(scored, run_id, n_buckets)
+        .repartition(1)  # audit rows are tiny: one file per run partition
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run_id")
+        .parquet(audit_path)
+    )
+
+
+def audit_run_exists(spark, audit_path: str, run_id: str) -> bool:
+    """Cheap existence probe for a run's audit partition (any Hadoop FS)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{audit_path}/run_id={run_id}")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))

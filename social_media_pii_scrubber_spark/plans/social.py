@@ -188,12 +188,14 @@ def fb_comments_payload(comments: DataFrame, rem_comments: DataFrame,
         date, time, cc.alias("_cc"),
         F.col("attachments").alias("URL"),
     )
-    # anti-join replaces the `cc in self.rem_comments: continue` skip —
-    # but rows whose comment is NULL survive (reference: except → '')
+    # anti-join replaces the `cc in self.rem_comments: continue` skip.
+    # Rows whose comment is NULL survive the anti-join on their own
+    # (NULL keys never match the build side), exactly once — matching
+    # the reference's except-branch which emits '' once per record.
     keep = c.join(
         F.broadcast(rem_comments.withColumnRenamed("comment", "_cc")),
         on="_cc", how="left_anti",
-    ).unionByName(c.filter(F.col("_cc").isNull()))
+    )
     return keep.select(
         "Date", "Time",
         F.lit("Participant").alias("Author"),

@@ -96,11 +96,14 @@ class TestFBPosts:
             Row(timestamp=OUT_TS, attachments="url4",
                 data=[Row(comment=Row(comment="old"))]),        # window drop
         ])
-        out = {r.URL: r for r in
-               S.fb_comments_payload(comments, rem, CFG).collect()}
-        assert set(out) == {"url2", "url3"}
-        assert out["url2"]["Subject Comments"] == "fresh words"
-        assert out["url3"]["Subject Comments"] == ""
+        rows = sorted(S.fb_comments_payload(comments, rem, CFG).collect(),
+                      key=lambda r: r.URL)
+        # EXACT row count: a null-comment record must appear once, not
+        # twice (regression: anti-join + explicit null-union double-emit)
+        assert len(rows) == 2
+        assert [r.URL for r in rows] == ["url2", "url3"]
+        assert rows[0]["Subject Comments"] == "fresh words"
+        assert rows[1]["Subject Comments"] == ""
 
 
 class TestIG:
