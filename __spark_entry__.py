@@ -28,6 +28,7 @@ from social_media_pii_scrubber_spark.operators import pivots as P
 from social_media_pii_scrubber_spark.operators import similarity as SIM
 from social_media_pii_scrubber_spark.operators import windows as W
 from social_media_pii_scrubber_spark.operators.media import scrub_media
+from social_media_pii_scrubber_spark.plans import social as SOC
 from social_media_pii_scrubber_spark.plans.pipeline import (
     filter_scrub_pipeline, pipeline_oracle_sql,
 )
@@ -46,6 +47,15 @@ ORDERS_FIRST = datetime(1996, 1, 1)
 ORDERS_LAST = datetime(1998, 12, 31)
 
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+# config for the social-dataflow oracle entries: window inside the events
+# domain; identity strings chosen to NOT occur in the synthesized text so
+# clean_text is the identity and the SQL twin needs no scrub rendering
+# (clean_text itself is locked by pytest goldens + the clean_text_udf gate).
+SOCIAL_CFG = ScrubConfig(
+    first_name="Zxqfirst", last_name="Zxqlast", username="user_self",
+    months_back=1, last_date=EVENTS_LAST,
+)
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 PART_CATEGORIES = ["small", "red", "blue", "ring", "gear", "other"]
 
@@ -474,6 +484,98 @@ def q_rolling_fp(spark, sf):
     return d.select("doc_id", T.rolling_hash_expr(F.col("text")).alias("rh"))
 
 
+def q_fb_profile_updates(spark, sf):
+    """FB parse_profile_updates dataflow (smparsers.py:152-190) on a
+    profile-update-shaped frame synthesized natively from events: one
+    media attachment with a subject + a friend comment; every 7th record
+    has no title (skipped entirely), every 5th a non-whitelisted
+    extension (attachment row dropped, update row kept)."""
+    ev = _t(spark, sf, "events")
+    title = F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string")) \
+        .otherwise(F.concat(F.lit("Update "), F.col("event_type")))
+    uri = F.concat(
+        F.lit("photos/p"), F.col("event_id").cast("string"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(".xyz")).otherwise(F.lit(".jpg")),
+    )
+    comments = F.array(
+        F.struct(
+            F.lit("user_self").alias("author"),
+            F.concat(F.lit("c"), F.col("event_id").cast("string")).alias("comment"),
+        ),
+        F.struct(F.lit("friend").alias("author"), F.lit("nice").alias("comment")),
+    )
+    media = F.struct(
+        uri.alias("uri"), F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("description"), comments.alias("comments"),
+    )
+    updates = ev.select(
+        F.col("event_id").alias("id"),
+        F.unix_timestamp("ts").alias("timestamp"),
+        title.alias("title"),
+        F.array(F.struct(F.array(F.struct(media.alias("media"))).alias("data"))
+                ).alias("attachments"),
+    )
+    # Date rendered as string: cross-engine date objects stringify
+    # differently (datetime.date vs datetime64) and would break the hash.
+    return SOC.fb_profile_updates_payload(updates, SOCIAL_CFG) \
+        .withColumn("Date", F.date_format("Date", "yyyy-MM-dd"))
+
+
+def _fb_profile_updates_sql() -> str:
+    rng = D.in_date_range_sql("pts", SOCIAL_CFG.first_date, SOCIAL_CFG.last_date)
+    ext = T.img_ext_sql("uri")
+    post = (
+        "'media/FB/Post' || cast(id as varchar) || '/Photo_' || "
+        f"cast(id as varchar) || '_' || {T.ph_num_sql('0')} || {ext}"
+    )
+    return (
+        "with u as (select event_id as id, "
+        "to_timestamp(cast(floor(epoch(ts)) as bigint)) as pts, "
+        "case when event_id % 7 = 0 then NULL "
+        "else 'Update ' || event_type end as title, "
+        "'photos/p' || cast(event_id as varchar) || "
+        "(case when event_id % 5 = 0 then '.xyz' else '.jpg' end) as uri, "
+        "'\"c' || cast(event_id as varchar) || '\"' as self_comment "
+        "from events), "
+        f"w as (select * from u where title is not null and {rng}) "
+        "select strftime(pts, '%Y-%m-%d') as \"Date\", "
+        "strftime(pts, '%-I:%M %p') as \"Time\", "
+        "'Profile' as \"Location\", 'N/A' as \"Post\", title as \"Caption\", "
+        "'' as \"Subject Comments\", '' as \"Friend Comments\", "
+        "'profile_update' as row_kind from w "
+        "union all "
+        "select strftime(pts, '%Y-%m-%d'), strftime(pts, '%-I:%M %p'), uri, "
+        f"{post}, title, self_comment, '\"nice\"', 'attachment' "
+        f"from w where {ext} is not null"
+    )
+
+
+def q_tt_user_videos(spark, sf):
+    """TT parse_user_videos (smparsers.py:462-472) on a Videos.txt-shaped
+    frame from events: date filter + {{URL}} redaction, Like(s) passthrough."""
+    ev = _t(spark, sf, "events")
+    videos = ev.select(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("Date"),
+        F.concat(F.lit("https://tt/v/"), F.col("event_id").cast("string")
+                 ).alias("Video Link"),
+        F.col("value").cast("string").alias("Like(s)"),
+    )
+    return SOC.tt_user_videos(videos, SOCIAL_CFG)
+
+
+def _tt_user_videos_sql() -> str:
+    rng = D.in_date_range_sql(
+        "strptime(\"Date\", '%Y-%m-%d %H:%M:%S')",
+        SOCIAL_CFG.first_date, SOCIAL_CFG.last_date,
+    )
+    return (
+        "with videos as (select strftime(ts, '%Y-%m-%d %H:%M:%S') as \"Date\", "
+        "cast(value as varchar) as \"Like(s)\" from events) "
+        "select \"Date\", '{{URL}}' as \"Video Link\", \"Like(s)\" "
+        f"from videos where {rng}"
+    )
+
+
 # --- UDF-backed (no SQL oracle; driver records rows-only check) -------------
 
 def q_perplexity_udf(spark, sf):
@@ -544,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "fb_profile_updates": q_fb_profile_updates,
+        "tt_user_videos": q_tt_user_videos,
         "perplexity_udf": q_perplexity_udf,
         "media_scrub": q_media_scrub,
         "clean_text_udf": q_clean_text_udf,
@@ -764,6 +868,8 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "fb_profile_updates": _fb_profile_updates_sql(),
+        "tt_user_videos": _tt_user_videos_sql(),
         # perplexity_udf / media_scrub / clean_text_udf: model/binary UDF
         # stages — intentionally no SQL twin (driver rows-only check;
         # pytest locks their numbers against plain-Python reimplementations).

@@ -155,21 +155,108 @@ def fb_posts_payload(posts: DataFrame, cfg: ScrubConfig) -> DataFrame:
     return post_rows.unionByName(att_rows)
 
 
-def fb_rem_comments(posts: DataFrame, cfg: ScrubConfig) -> DataFrame:
-    """The subject's own raw comments on their posts — the J2 build side
-    consumed by fb_comments_payload (reference: self.rem_comments,
-    smparsers.py:126-127)."""
-    att = posts.select(
-        F.explode(F.col("attachments")[0]["data"]).alias("att")
+def fb_profile_updates_payload(updates: DataFrame, cfg: ScrubConfig) -> DataFrame:
+    """parse_profile_updates (smparsers.py:152-190): update rows +
+    per-media-attachment rows. Differs from parse_posts in four ways,
+    each reproduced: records without `title` are skipped entirely
+    (:158); the attachment row's Caption is the POST's cleaned title,
+    not the media's (:186); only media attachments are emitted (no
+    external_context branch, :168); and the comment join separator is
+    ';' without a space (:187-188).
+
+    Input schema: id:long (update index), timestamp:long, title:string,
+    attachments:array<struct<data:array<struct<
+        media:struct<uri:string,title:string,description:string,
+                     comments:array<struct<author:string,comment:string>>>>>>>.
+    """
+    clean = clean_text_pandas_udf(cfg)
+    p = updates.filter(_window(F.col("timestamp"), cfg)) \
+        .filter(F.col("title").isNotNull())
+    _, date, time = _ts_cols(F.col("timestamp"))
+    p = p.select("*", date, time, clean(F.col("title")).alias("_caption"))
+
+    post_rows = p.select(
+        F.col("Date"), F.col("Time"),
+        F.lit("Profile").alias("Location"), F.lit("N/A").alias("Post"),
+        F.col("_caption").alias("Caption"),
+        F.lit("").alias("Subject Comments"), F.lit("").alias("Friend Comments"),
+        F.lit("profile_update").alias("row_kind"),
+    )
+
+    att = p.select(
+        "id", "Date", "Time", "_caption",
+        F.posexplode_outer(F.col("attachments")[0]["data"]).alias("j", "att"),
+    ).filter(F.col("att.media").isNotNull())
+
+    media_fp = F.col("att.media.uri")
+    ext = img_ext_expr(media_fp)
+    out_path = F.concat(
+        F.lit("media/FB/Post"), F.col("id").cast("string"),
+        F.lit("/Photo_"), F.col("id").cast("string"), F.lit("_"),
+        ph_num_expr(F.col("j")), ext,
+    )
+
+    # same quoting/routing as fb_posts_payload; the reference joins with
+    # ';' here (no space, smparsers.py:187-188). Scrub-once divergence as
+    # documented on fb_posts_payload.
+    comments = F.coalesce(F.col("att.media.comments"), F.array())
+    is_self = lambda c: c["author"].contains(cfg.username)
+    quote = lambda c: F.concat(F.lit('"'), c["comment"], F.lit('"'))
+    sc = clean(F.array_join(F.transform(F.filter(comments, is_self), quote), ";"))
+    fc = clean(F.array_join(
+        F.transform(F.filter(comments, lambda c: ~is_self(c)), quote), ";"
+    ))
+
+    att_rows = (
+        att.filter(ext.isNotNull())
+        .select(
+            "Date", "Time",
+            media_fp.alias("Location"),
+            out_path.alias("Post"),
+            F.col("_caption").alias("Caption"),
+            sc.alias("Subject Comments"),
+            fc.alias("Friend Comments"),
+            F.lit("attachment").alias("row_kind"),
+        )
+    )
+    return post_rows.unionByName(att_rows)
+
+
+def _subject_media_comments(posts: DataFrame, cfg: ScrubConfig,
+                            require_title: bool = False) -> DataFrame:
+    """Raw subject comments that the reference appends to rem_comments:
+    only in-window posts, only media attachments with a whitelisted
+    extension (the `continue`s at smparsers.py:88/107 and :157-158/:166
+    run BEFORE the comment loop)."""
+    p = posts.filter(_window(F.col("timestamp"), cfg))
+    if require_title:
+        p = p.filter(F.col("title").isNotNull())
+    att = p.select(F.explode(F.col("attachments")[0]["data"]).alias("att"))
+    att = att.filter(
+        F.col("att.media").isNotNull()
+        & img_ext_expr(F.col("att.media.uri")).isNotNull()
     )
     c = att.select(
         F.explode(F.coalesce(F.col("att.media.comments"), F.array())).alias("c")
     )
-    return (
-        c.filter(F.col("c.author").contains(cfg.username))
+    return c.filter(F.col("c.author").contains(cfg.username)) \
         .select(F.col("c.comment").alias("comment"))
-        .distinct()
-    )
+
+
+def fb_rem_comments(posts: DataFrame, cfg: ScrubConfig,
+                    profile_updates: DataFrame | None = None) -> DataFrame:
+    """The subject's own raw comments on their posts — the J2 build side
+    consumed by fb_comments_payload. The reference accumulates
+    rem_comments from BOTH parse_posts (smparsers.py:126-127) and
+    parse_profile_updates (:175-176); pass both frames or a
+    profile-update-only subject comment wrongly survives the anti-join.
+    """
+    rem = _subject_media_comments(posts, cfg)
+    if profile_updates is not None:
+        rem = rem.unionByName(
+            _subject_media_comments(profile_updates, cfg, require_title=True)
+        )
+    return rem.distinct()
 
 
 def fb_comments_payload(comments: DataFrame, rem_comments: DataFrame,
@@ -352,6 +439,17 @@ def tt_video_browsing(browsing: DataFrame, favorites: DataFrame,
         _yes(F.col("_lk")).alias("Liked"),
         _yes(F.col("_fav")).alias("Favorite"),
     )
+
+
+def tt_user_videos(videos: DataFrame, cfg: ScrubConfig) -> DataFrame:
+    """parse_user_videos (smparsers.py:462-472): date filter + {{URL}}
+    redaction; `Like(s)` passes through untouched.
+
+    Input: Date:string, `Video Link`:string, `Like(s)`:string.
+    """
+    return videos.filter(
+        in_date_range_expr(F.to_timestamp("Date"), cfg.first_date, cfg.last_date)
+    ).select("Date", F.lit("{{URL}}").alias("Video Link"), F.col("Like(s)"))
 
 
 def tt_comments_payload(comments: DataFrame, cfg: ScrubConfig) -> DataFrame:

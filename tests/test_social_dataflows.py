@@ -106,6 +106,78 @@ class TestFBPosts:
         assert rows[1]["Subject Comments"] == ""
 
 
+class TestFBProfileUpdates:
+    def _updates(self, spark):
+        schema = (
+            "id long, timestamp long, title string, "
+            "attachments array<struct<data:array<struct<media:struct<"
+            "uri:string,title:string,description:string,"
+            "comments:array<struct<author:string,comment:string>>>>>>>"
+        )
+        return spark.createDataFrame([
+            Row(id=0, timestamp=IN_TS, title="Maggie updated her profile",
+                attachments=[Row(data=[
+                    Row(media=Row(uri="photos/prof.jpg", title="m-title",
+                                  description="m-desc",
+                                  comments=[
+                                      Row(author="Maggie Nail", comment="update-only comment"),
+                                      Row(author="Friend A", comment="looking good"),
+                                      Row(author="Friend B", comment="nice"),
+                                  ])),
+                    Row(media=Row(uri="photos/bad.xyz", title=None,
+                                  description=None, comments=None)),
+                ])]),
+            # no title → whole record skipped, attachments included
+            Row(id=1, timestamp=IN_TS, title=None,
+                attachments=[Row(data=[
+                    Row(media=Row(uri="photos/x.jpg", title=None, description=None,
+                                  comments=[Row(author="Maggie Nail",
+                                                comment="hidden")]))])]),
+            Row(id=2, timestamp=OUT_TS, title="too old", attachments=None),
+        ], schema=schema)
+
+    def test_payload_shape(self, spark):
+        rows = S.fb_profile_updates_payload(self._updates(spark), CFG).collect()
+        kinds = sorted(r.row_kind for r in rows)
+        # title-less record fully skipped; bad ext skipped; old skipped
+        assert kinds == ["attachment", "profile_update"]
+        post = [r for r in rows if r.row_kind == "profile_update"][0]
+        assert post.Caption == "{{FIRSTNAME}} updated her profile"
+        att = [r for r in rows if r.row_kind == "attachment"][0]
+        assert att.Location == "photos/prof.jpg"
+        assert att.Post == "media/FB/Post0/Photo_0_0A.jpg"
+        # attachment Caption is the POST's cleaned title, not the media's
+        assert att.Caption == "{{FIRSTNAME}} updated her profile"
+        # ';' separator without space (smparsers.py:187-188)
+        assert att["Friend Comments"] == '"looking good";"nice"'
+        assert att["Subject Comments"] == '"update-only comment"'
+
+    def test_rem_comments_includes_profile_updates(self, spark):
+        """A subject comment that appears ONLY on a profile-update post
+        must still be anti-joined out of fb_comments_payload
+        (reference: rem_comments accumulates across both parsers)."""
+        posts = spark.createDataFrame([
+            Row(id=0, timestamp=IN_TS, title="t", data=None, attachments=None)
+        ], schema=("id long, timestamp long, title string, "
+                   "data array<struct<post:string>>, "
+                   "attachments array<struct<data:array<struct<media:struct<"
+                   "uri:string,title:string,description:string,"
+                   "comments:array<struct<author:string,comment:string>>>,"
+                   "external_context:struct<uri:string>>>>>"))
+        rem = S.fb_rem_comments(posts, CFG, profile_updates=self._updates(spark))
+        assert sorted(r.comment for r in rem.collect()) == ["update-only comment"]
+        comments = spark.createDataFrame([
+            Row(timestamp=IN_TS, attachments="url1",
+                data=[Row(comment=Row(comment="update-only comment"))]),
+            Row(timestamp=IN_TS, attachments="url2",
+                data=[Row(comment=Row(comment="fresh"))]),
+        ])
+        out = S.fb_comments_payload(comments, rem, CFG).collect()
+        assert [r.URL for r in out] == ["url2"]
+        # 'hidden' came from the title-less record → NOT in rem_comments
+        assert "hidden" not in {r.comment for r in rem.collect()}
+
+
 class TestIG:
     def test_comments_routing_and_blank_drop(self, spark):
         comments = spark.createDataFrame([
@@ -182,6 +254,19 @@ class TestTT:
         assert flags["2021-12-20 10:00:00"] == ("", "Yes")
         assert flags["2021-12-20 11:00:00"] == ("Yes", "")
         assert all(r["Video Link"] == "{{URL}}" for r in rows)
+
+    def test_user_videos(self, spark):
+        videos = spark.createDataFrame([
+            Row(Date="2021-12-20 10:00:00",
+                **{"Video Link": "https://tt/v1", "Like(s)": "12"}),
+            Row(Date="2017-01-01 10:00:00",
+                **{"Video Link": "https://tt/v2", "Like(s)": "3"}),
+        ])
+        rows = S.tt_user_videos(videos, CFG).collect()
+        assert len(rows) == 1
+        assert rows[0]["Video Link"] == "{{URL}}"
+        assert rows[0]["Like(s)"] == "12"  # passthrough, untouched
+        assert rows[0].Date == "2021-12-20 10:00:00"
 
     def test_follow_counts(self, spark):
         f1 = spark.createDataFrame([Row(Date="2021-12-20 10:00:00", Username="a"),
