@@ -376,6 +376,38 @@ def q_ann_lsh_topk(spark, sf):
     return SIM.lsh_topk(e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5)
 
 
+_EMB_WITH_DUPS_SQL = (
+    "(select vec_id, embedding from embeddings "
+    "union all select vec_id + 100000 as vec_id, embedding "
+    "from embeddings where vec_id < 10)"
+)
+
+
+def _emb_with_dups(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    dups = e.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return e.select("vec_id", "embedding").unionByName(dups)
+
+
+def q_embedding_dup_pairs_amp(spark, sf):
+    """OR-amplified near-dup pairs, expr-bucket profile (the scale path's
+    oracle-checkable configuration: 2 tables of 2^6 = 64 buckets)."""
+    return SIM.embedding_dup_pairs_amplified(
+        _emb_with_dups(spark, sf), "embedding", "vec_id", threshold=0.95,
+        n_planes=6, n_tables=2, dim=64, use_udf=False,
+    )
+
+
+def q_ann_amp_topk(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return SIM.ann_topk_amplified(
+        e, e.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=5,
+        n_planes=4, n_tables=2, dim=64, use_udf=False,
+    )
+
+
 def q_a3_rollup(spark, sf):
     """A3's Total column family via rollup (SURVEY §2.4: grouping sets
     are the idiomatic Spark spelling of the reference's per-type totals)."""
@@ -646,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "ann_amp_topk": q_ann_amp_topk,
         "fb_profile_updates": q_fb_profile_updates,
         "tt_user_videos": q_tt_user_videos,
         "perplexity_udf": q_perplexity_udf,
@@ -868,6 +902,14 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "embedding_dup_pairs_amp": SIM.embedding_dup_pairs_amplified_sql(
+            _EMB_WITH_DUPS_SQL, "embedding", "vec_id", threshold=0.95,
+            n_planes=6, n_tables=2, dim=64,
+        ),
+        "ann_amp_topk": SIM.ann_topk_amplified_sql(
+            "embeddings", "vec_id < 3", "vec_id", "embedding", k=5,
+            n_planes=4, n_tables=2, dim=64,
+        ),
         "fb_profile_updates": _fb_profile_updates_sql(),
         "tt_user_videos": _tt_user_videos_sql(),
         # perplexity_udf / media_scrub / clean_text_udf: model/binary UDF

@@ -278,10 +278,13 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                         threshold: float = 0.95) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
-    Candidate generation via the similarity module's random-hyperplane
-    LSH buckets (near-identical vectors land in the same bucket with
-    high probability), then exact cosine verification within buckets —
-    the self-join shuffles on the bucket key only, never all-pairs.
+    SMALL ORACLE PROFILE: uses the fixed 16-bucket coordinate-pair LSH —
+    at most 16-way parallelism, fine for the sf0.01 gate, wrong at
+    corpus scale. The at-scale variant is
+    ``similarity.embedding_dup_pairs_amplified`` (seed-derived planes,
+    2^n_planes buckets per table, OR-amplified across tables; recall
+    measured in tests/test_similarity_recall.py). Same verify-after-
+    bucket-join topology in both.
     """
     from .similarity import cosine_expr, lsh_bucket_expr
 

@@ -19,12 +19,17 @@ rounding to 4 decimals.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-# deterministic hyperplanes: dimension indices paired with signs.
-# hyperplane h = e[i0] - e[i1] (difference of two coordinate axes) —
-# portable to SQL as sign(v[i0] - v[i1]).
+# SMALL ORACLE PROFILE ONLY: 4 coordinate-difference hyperplanes → 16
+# buckets, trivially SQL-portable. The at-scale path is the parameterized
+# seed-derived Gaussian planes below (make_tables /
+# hyperplane_buckets_pandas_udf): n_planes·n_tables configurable, any
+# dimension, OR-amplified recall.
 LSH_PLANES: tuple[tuple[int, int], ...] = ((0, 1), (2, 3), (4, 5), (6, 7))
 
 
@@ -137,6 +142,238 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
+def make_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Seed-derived Gaussian hyperplanes for any dimension.
+
+    numpy's legacy RandomState stream is frozen by its compatibility
+    guarantee, so the planes are bit-identical everywhere. Components are
+    rounded to 6 decimals: the SAME decimal literals are embedded in the
+    Spark plan and the DuckDB twin, so both parse to the same doubles.
+    """
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return [
+        [round(float(x), 6) for x in rs.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def make_tables(n_planes: int, n_tables: int, dim: int,
+                seed: int = 42) -> list[list[list[float]]]:
+    """n_tables independent plane sets (OR-amplification): table t uses
+    seed+t, so adding tables never reshuffles existing ones."""
+    return [make_hyperplanes(n_planes, dim, seed + t) for t in range(n_tables)]
+
+
+def hyperplane_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket as a BIGINT (bit j = sign of dot(v, plane_j)).
+
+    Native-expression formulation — the oracle-checkable profile. The
+    at-scale path is ``hyperplane_buckets_pandas_udf`` (one numpy matmul
+    per Arrow batch); ``test_similarity_recall`` pins their parity.
+    """
+    v = _as_double(vec)
+    acc = F.lit(0).cast("bigint")
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(w) for w in p]).cast("array<double>")
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
+    return acc
+
+
+def hyperplane_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(w) for w in p) + "]::double[]"
+        dot = (
+            f"list_sum(list_transform(list_zip("
+            f"list_transform({vec}, x -> cast(x as double)), {lit}), "
+            f"p -> p[1] * p[2]))"
+        )
+        terms.append(f"(case when {dot} > 0 then {1 << j} else 0 end)")
+    return "cast((" + " + ".join(terms) + ") as bigint)"
+
+
+def hyperplane_buckets_pandas_udf(tables: list[list[list[float]]]):
+    """All tables' buckets in ONE numpy matmul per Arrow batch — the
+    100-TB path. Returns array<bigint>, one bucket id per table.
+
+    The (n_rows × dim) @ (dim × n_planes·n_tables) product runs in BLAS;
+    bits pack into int64 vectorized. Zero per-row Python.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # one stacked (dim × total_planes) matrix; split points per table
+    mats = np.concatenate([np.asarray(t, dtype=np.float64).T for t in tables], axis=1)
+    n_planes = len(tables[0])
+    n_tables = len(tables)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def bucket_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            m = np.vstack(s.to_numpy()).astype(np.float64)
+            bits = (m @ mats) > 0                      # (n, planes*tables)
+            bits = bits.reshape(len(m), n_tables, n_planes)
+            buckets = (bits * weights).sum(axis=2)     # (n, tables) int64
+            yield pd.Series(list(buckets))
+
+    return bucket_udf
+
+
+def _tagged_buckets(df: DataFrame, id_col: str, vec_col: str,
+                    tables: list[list[list[float]]], use_udf: bool) -> DataFrame:
+    """(id, vec, tbl, bucket): one row per (row, table), exploded from a
+    single per-row bucket-array computation."""
+    if use_udf:
+        arr = hyperplane_buckets_pandas_udf(tables)(F.col(vec_col))
+    else:
+        arr = F.array(*[
+            hyperplane_bucket_expr(F.col(vec_col), planes) for planes in tables
+        ])
+    return df.select(
+        F.col(id_col), F.col(vec_col),
+        F.posexplode(arr).alias("tbl", "bucket"),
+    )
+
+
+def embedding_dup_pairs_amplified(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    n_planes: int = 8, n_tables: int = 4, dim: int = 64, seed: int = 42,
+    use_udf: bool = True,
+) -> DataFrame:
+    """OR-amplified near-duplicate pairs: candidates collide in ANY of
+    ``n_tables`` independent ``2^n_planes``-bucket tables, then exact
+    cosine verifies.
+
+    Topology (the part that must survive 100 TB): buckets are computed
+    once per row (one matmul batch), exploded to (tbl, bucket), and the
+    self-join runs on that key — an explicit repartition makes both
+    sides the SAME exchange (ReusedExchange). Parallelism is
+    n_tables·2^n_planes-way, not 16-way; per-bucket work is
+    O((N/2^n_planes)²) within a table. Recall amplifies as
+    1-(1-p^n_planes)^n_tables — tune n_planes to bucket size and
+    n_tables to recall; ``tests/test_similarity_recall.py`` measures it.
+    """
+    tables = make_tables(n_planes, n_tables, dim, seed)
+    tagged = _tagged_buckets(df, id_col, vec_col, tables, use_udf) \
+        .drop(vec_col).repartition("tbl", "bucket")
+    left, right = tagged.alias("l"), tagged.alias("r")
+    cand = (
+        left.join(right, on=["tbl", "bucket"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    verified = (
+        cand.join(vecs.select(F.col(id_col).alias("id_a"),
+                              F.col(vec_col).alias("_va")), "id_a")
+        .join(vecs.select(F.col(id_col).alias("id_b"),
+                          F.col(vec_col).alias("_vb")), "id_b")
+        .select("id_a", "id_b",
+                cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return verified
+
+
+def embedding_dup_pairs_amplified_sql(
+    table_sql: str, vec_col: str, id_col: str, threshold: float = 0.95,
+    n_planes: int = 8, n_tables: int = 4, dim: int = 64, seed: int = 42,
+) -> str:
+    """DuckDB twin of the expr-profile amplified near-dup pairs."""
+    tables = make_tables(n_planes, n_tables, dim, seed)
+    per_table = " union all ".join(
+        f"select {id_col}, {t} as tbl, "
+        f"{hyperplane_bucket_sql(vec_col, planes)} as bucket from src"
+        for t, planes in enumerate(tables)
+    )
+    cos = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    return (
+        f"with src as (select * from {table_sql}), "
+        f"tagged as ({per_table}), "
+        f"cand as (select distinct l.{id_col} as id_a, r.{id_col} as id_b "
+        f"  from tagged l join tagged r using (tbl, bucket) "
+        f"  where l.{id_col} < r.{id_col}) "
+        f"select id_a, id_b, {cos} as cosine "
+        f"from cand join src a on cand.id_a = a.{id_col} "
+        f"join src b on cand.id_b = b.{id_col} "
+        f"where {cos} >= {threshold}"
+    )
+
+
+def ann_topk_amplified(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    k: int = 5, n_planes: int = 8, n_tables: int = 4, dim: int = 64,
+    seed: int = 42, use_udf: bool = True,
+) -> DataFrame:
+    """ANN top-k with OR-amplified tables: search the union of the
+    query's buckets across tables. Same output schema as cosine_topk."""
+    tables = make_tables(n_planes, n_tables, dim, seed)
+    q = _tagged_buckets(queries, id_col, vec_col, tables, use_udf) \
+        .withColumnRenamed(id_col, "query_id").withColumnRenamed(vec_col, "qvec")
+    c = _tagged_buckets(corpus, id_col, vec_col, tables, use_udf) \
+        .withColumnRenamed(id_col, "match_id").withColumnRenamed(vec_col, "cvec")
+    cand = (
+        c.join(F.broadcast(q), on=["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", "qvec", "cvec")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = cand.select(
+        "query_id", "match_id",
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
+def ann_topk_amplified_sql(
+    corpus_sql: str, query_pred: str, id_col: str, vec_col: str,
+    k: int = 5, n_planes: int = 8, n_tables: int = 4, dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``ann_topk_amplified`` (expr bucket profile)."""
+    tables = make_tables(n_planes, n_tables, dim, seed)
+
+    def tagged(src: str, idname: str) -> str:
+        return " union all ".join(
+            f"select {idname}, {vec_col}, {t} as tbl, "
+            f"{hyperplane_bucket_sql(vec_col, planes)} as bucket from {src}"
+            for t, planes in enumerate(tables)
+        )
+
+    cos = cosine_sql(f"q.{vec_col}", f"c.{vec_col}")
+    return (
+        f"with q as (select {id_col} as query_id, {vec_col} from {corpus_sql} "
+        f"  where {query_pred}), "
+        f"c as (select {id_col} as match_id, {vec_col} from {corpus_sql}), "
+        f"qt as ({tagged('q', 'query_id')}), "
+        f"ct as ({tagged('c', 'match_id')}), "
+        f"cand as (select distinct query_id, match_id "
+        f"  from qt join ct using (tbl, bucket) where query_id != match_id), "
+        f"scored as (select cand.query_id, cand.match_id, {cos} as cosine "
+        f"  from cand join q on cand.query_id = q.query_id "
+        f"  join c on cand.match_id = c.match_id), "
+        f"ranked as (select *, row_number() over (partition by query_id "
+        f"  order by cosine desc, match_id asc) as rk from scored) "
+        f"select query_id, match_id, cosine, rk from ranked where rk <= {k}"
     )
 
 

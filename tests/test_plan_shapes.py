@@ -85,6 +85,24 @@ def test_lsh_self_join_reuses_exchange(spark, sf_dir):
     assert "ReusedExchange" in p, p[:3000]
 
 
+def test_amplified_lsh_self_join_reuses_exchange(spark, sf_dir):
+    """The amplified embedding LSH's (tbl, bucket) self-join must reuse
+    one exchange: the bucket computation (matmul UDF) runs once total,
+    and the join key is n_tables·2^n_planes-way parallel."""
+    from social_media_pii_scrubber_spark.operators.similarity import (
+        embedding_dup_pairs_amplified,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = embedding_dup_pairs_amplified(
+        emb, "embedding", "vec_id", n_planes=8, n_tables=4, dim=64
+    )
+    df.collect()  # AQE finalizes the plan
+    p = plan_of(df)
+    assert "ReusedExchange" in p, p[:3000]
+    assert "CartesianProduct" not in p
+
+
 def test_exact_dedup_partial_aggregation(spark, sf_dir):
     """groupBy(fingerprint) must map-side combine (two HashAggregates
     around the exchange) — at 100 TB the partial agg IS the operator."""

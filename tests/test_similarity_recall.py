@@ -1,0 +1,116 @@
+"""Recall + parity for the parameterized OR-amplified hyperplane LSH.
+
+VERDICT r1 flagged the fixed 16-bucket LSH as a scale-killer; the
+amplified path (similarity.make_tables + embedding_dup_pairs_amplified)
+must demonstrate recall >= 0.9 on planted near-dups with >= 256 buckets
+per table, and the vectorized pandas-UDF bucketer must agree bit-for-bit
+with the native-expression profile.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.operators import similarity as SIM
+
+SF = "/root/testdata/sf0.01"
+DIM = 64
+N_PLANES = 8   # 2^8 = 256 buckets per table (the VERDICT floor)
+N_TABLES = 4
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """sf0.01 embeddings + a perturbed copy of each of the first 100
+    vectors at cosine ~0.995 (noise norm = 0.1 * vector norm)."""
+    base = pd.read_parquet(f"{SF}/embeddings.parquet")
+    rs = np.random.RandomState(7)
+    rows = []
+    for _, r in base.head(100).iterrows():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        g = rs.standard_normal(DIM)
+        g -= g.dot(v) / v.dot(v) * v            # orthogonalize
+        g *= 0.1 * np.linalg.norm(v) / np.linalg.norm(g)
+        rows.append((int(r.vec_id) + 100000,
+                     [float(x) for x in v + g], int(r.label)))
+    dup = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf = pd.concat(
+        [base.assign(embedding=base.embedding.map(
+            lambda a: [float(x) for x in a])), dup],
+        ignore_index=True,
+    )
+    return spark.createDataFrame(pdf, "vec_id long, embedding array<double>, label long")
+
+
+def test_udf_expr_bucket_parity(spark, embeddings):
+    """The numpy-matmul bucketer (scale path) must equal the native-expr
+    bucketer (oracle profile) on every row and table."""
+    tables = SIM.make_tables(N_PLANES, N_TABLES, DIM)
+    expr_arr = F.array(*[
+        SIM.hyperplane_bucket_expr(F.col("embedding"), p) for p in tables
+    ])
+    udf_arr = SIM.hyperplane_buckets_pandas_udf(tables)(F.col("embedding"))
+    mismatches = (
+        embeddings.select(expr_arr.alias("a"), udf_arr.alias("b"))
+        .filter(F.col("a") != F.col("b")).count()
+    )
+    assert mismatches == 0
+
+
+def test_planted_neardup_recall(planted):
+    """Pair recall >= 0.9 at 256 buckets/table (expected ~0.997 for
+    cosine 0.995: p_table = (1 - theta/pi)^8 ~ 0.77, 4 tables)."""
+    pairs = SIM.embedding_dup_pairs_amplified(
+        planted, "embedding", "vec_id", threshold=0.95,
+        n_planes=N_PLANES, n_tables=N_TABLES, dim=DIM,
+    ).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    hits = sum((i, i + 100000) in found for i in range(100))
+    assert hits / 100 >= 0.9, f"recall {hits/100} < 0.9"
+    # verification is exact: every emitted pair really is >= threshold
+    assert all(r.cosine >= 0.95 for r in pairs)
+
+
+def test_ann_amplified_top1_is_planted_dup(planted):
+    """Querying with the perturbed copies: the original vector must rank
+    top-1 for >= 90% of queries."""
+    queries = planted.filter(F.col("vec_id") >= 100000).limit(50)
+    out = SIM.ann_topk_amplified(
+        planted, queries, "vec_id", "embedding", k=1,
+        n_planes=N_PLANES, n_tables=N_TABLES, dim=DIM,
+    ).collect()
+    top1 = {r.query_id: r.match_id for r in out if r.rk == 1}
+    ok = sum(top1.get(q + 100000) == q for q in range(100))
+    n_queries = queries.count()
+    assert ok / n_queries >= 0.9, f"top-1 recall {ok}/{n_queries}"
+
+
+def test_amplified_sql_twin_matches(planted, spark):
+    """Expr profile vs the DuckDB twin on a planted frame (small
+    n_planes/n_tables so the rendered SQL stays manageable)."""
+    import duckdb
+
+    sub = planted.filter((F.col("vec_id") < 40) | (F.col("vec_id") >= 100000))
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in SIM.embedding_dup_pairs_amplified(
+            sub, "embedding", "vec_id", threshold=0.95,
+            n_planes=6, n_tables=2, dim=DIM, use_udf=False,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("src_tbl", sub.toPandas())
+    sql = SIM.embedding_dup_pairs_amplified_sql(
+        "src_tbl", "embedding", "vec_id", threshold=0.95,
+        n_planes=6, n_tables=2, dim=DIM,
+    )
+    want = sorted(
+        (int(a), int(b), float(c)) for a, b, c in con.sql(sql).fetchall()
+    )
+    assert got == want
