@@ -67,10 +67,12 @@ def main() -> None:
     # cluster cost, ~10s across 32 local workers; steady-state docs/sec
     # is the 100TB-relevant number)
     filter_scrub_pipeline(pages.limit(2000), CFG, use_model_udfs=True).df.count()
-    # best-of-2: the shared sandbox host has bursty CPU steal; the min
-    # approximates unthrottled steady state (see BENCH.md)
+    # best-of-3: the shared sandbox host has bursty CPU steal; the min
+    # approximates unthrottled steady state (see BENCH.md). Folded into
+    # the harness so the driver's single invocation reports the warm
+    # stable figure (VERDICT r1 item 6).
     best, rows_out = None, 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = t()
         out = filter_scrub_pipeline(pages, CFG, use_model_udfs=True).df
         rows_out = out.filter("keep").count()
@@ -94,15 +96,33 @@ def main() -> None:
     _count(DD.lsh_candidate_pairs(docs, "text", "doc_id"))
     timings["q4_minhash_lsh"] = t() - t0
 
-    # q5: simhash signatures
+    # q4b: PRODUCTION minhash profile — xxhash64, 128 hashes / 16 bands
+    # (the config the recall test validates; no hex-string shuffles)
+    t0 = t()
+    _count(DD.lsh_candidate_pairs_fast(docs, "text", "doc_id"))
+    timings["q4b_minhash_lsh_wide"] = t() - t0
+
+    # q5: simhash signatures (md5 oracle profile)
     t0 = t()
     _count(DD.simhash_signature(docs, "text", "doc_id"))
     timings["q5_simhash"] = t() - t0
+
+    # q5b: production 64-bit simhash (xxhash64, one bigint signature)
+    t0 = t()
+    _count(DD.simhash_signature_fast(docs, "text", "doc_id"))
+    timings["q5b_simhash64"] = t() - t0
 
     # q6: brute-force cosine top-k (10 queries x corpus)
     t0 = t()
     _count(SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=10))
     timings["q6_cosine_topk"] = t() - t0
+
+    # q6b: OR-amplified embedding near-dup (numpy-matmul bucket UDF,
+    # 4 tables x 256 buckets — the at-scale ANN/dedup path)
+    t0 = t()
+    _count(SIM.embedding_dup_pairs_amplified(
+        emb, "embedding", "vec_id", n_planes=8, n_tables=4, dim=64))
+    timings["q6b_embedding_lsh_amplified"] = t() - t0
 
     # q7: relational mix — join + agg + window over tpch-ish tables
     t0 = t()

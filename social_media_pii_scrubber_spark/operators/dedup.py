@@ -26,9 +26,23 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint_expr, fingerprint_fast_expr
 
 SHINGLE_K = 3          # words per shingle
-NUM_HASHES = 4         # minhash signature length
+
+# SMALL ORACLE PROFILE: 4 hashes / 2 bands keeps the md5-portable DuckDB
+# twin tractable. NOT a production dedup configuration — the S-curve is
+# far too shallow (band threshold (1/2)^(1/2) ≈ 0.71 but with only 2
+# bands the false-negative rate at J=0.8 is ~26%).
+NUM_HASHES = 4         # minhash signature length (oracle profile)
 BAND_SIZE = 2          # hashes per LSH band → NUM_HASHES/BAND_SIZE bands
-SIMHASH_BITS = 16
+
+# PRODUCTION PROFILE (the ``*_fast`` xxhash default): 128 hashes in 16
+# bands of 8 → threshold (1/16)^(1/8) ≈ 0.71, P(candidate | J=0.85)
+# ≈ 0.994. tests/test_dedup_recall.py plants J≈0.85 near-dups and
+# measures recall ≥ 0.9; bench.py times this config (q4b).
+WIDE_NUM_HASHES = 128
+WIDE_BAND_SIZE = 8
+
+SIMHASH_BITS = 16      # md5-parity oracle profile (max 32: md5 hex width)
+SIMHASH_FAST_BITS = 64 # xxhash64 production profile
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -190,13 +204,15 @@ def lsh_candidate_pairs_sql(table_sql: str, text_col: str, id_col: str,
 
 
 def lsh_candidate_pairs_fast(df: DataFrame, text_col: str, id_col: str,
-                             num_hashes: int = NUM_HASHES,
-                             band_size: int = BAND_SIZE) -> DataFrame:
+                             num_hashes: int = WIDE_NUM_HASHES,
+                             band_size: int = WIDE_BAND_SIZE) -> DataFrame:
     """At-scale LSH variant: xxhash64 instead of md5 (no oracle twin).
 
     Same topology as ``lsh_candidate_pairs``; the signature aggregation
     and band keys use 64-bit xxhash (whole-stage codegen, no hex-string
-    materialization) — the version you run on 100 TB.
+    materialization) — the version you run on 100 TB. Defaults to the
+    PRODUCTION width (128 hashes / 16 bands): recall at J=0.85 is
+    measured ≥0.9 by tests/test_dedup_recall.py.
     """
     toks = df.select(
         F.col(id_col),
@@ -349,6 +365,40 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str,
         for j in range(bits)
     ]
     return agg.select(F.col(id_col), F.concat(*bit_chars).alias("simhash"))
+
+
+def simhash_signature_fast(df: DataFrame, text_col: str, id_col: str,
+                           bits: int = SIMHASH_FAST_BITS) -> DataFrame:
+    """Production SimHash: 64-bit signature as ONE bigint (no oracle
+    twin — xxhash64 has no DuckDB equivalent; pytest locks semantics).
+
+    One xxhash64 per token, then each signature bit j majority-votes the
+    j-th bit of that hash: explode tokens → single groupBy(id) with
+    `bits` shiftright/sum aggregates (all whole-stage codegen) →
+    assemble the bigint. Near-dup distance = bit_count(a XOR b).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum((F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))) * 2 - 1
+              ).alias(f"v_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("bigint")
+    for j in range(bits):
+        # bit 63 is the sign bit: its two's-complement value is -(2^63)
+        val = (1 << j) if j < 63 else -(1 << 63)
+        sig = sig + F.when(F.col(f"v_{j}") > 0, F.lit(val)).otherwise(F.lit(0)) \
+            .cast("bigint")
+    return agg.select(F.col(id_col), sig.alias("simhash64"))
+
+
+def simhash_hamming_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhash64 signatures."""
+    return F.bit_count(a.bitwiseXOR(b))
 
 
 def simhash_signature_sql(table_sql: str, text_col: str, id_col: str,
