@@ -20,6 +20,7 @@ from social_media_pii_scrubber_spark.functions import quality as Q
 from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
 from social_media_pii_scrubber_spark.functions import timeparse as TP
+from social_media_pii_scrubber_spark.functions import oracle_fixtures as OF
 from social_media_pii_scrubber_spark.functions.perplexity import perplexity_pandas_udf
 from social_media_pii_scrubber_spark.operators import dates as D
 from social_media_pii_scrubber_spark.operators import dedup as DD
@@ -36,9 +37,13 @@ from social_media_pii_scrubber_spark.sources.webpages import (
     webpages_from_documents, webpages_from_documents_sql,
 )
 
+import os
 from datetime import datetime
 
 CFG = ScrubConfig()  # default window: 2022-12-31 .. 2024-12-31
+
+# the SF the driver's correctness gate compares at (TESTDATA.md / brief)
+ORACLE_SF = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 # fixed windows matched to the testdata domains
 EVENTS_FIRST = datetime(2024, 1, 8)
@@ -912,7 +917,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fb_profile_updates": _fb_profile_updates_sql(),
         "tt_user_videos": _tt_user_videos_sql(),
-        # perplexity_udf / media_scrub / clean_text_udf: model/binary UDF
-        # stages — intentionally no SQL twin (driver rows-only check;
-        # pytest locks their numbers against plain-Python reimplementations).
+        # perplexity_udf / clean_text_udf: model-shaped UDF stages with no
+        # SQL rendering — value-checked against parquet fixtures built by
+        # the INDEPENDENT plain-Python implementations (the pytest parity
+        # logic promoted into the gate; functions/oracle_fixtures.py).
+        # media_scrub stays rows-only (binary kernel, pytest-locked).
+        "perplexity_udf": (
+            "select doc_id, perplexity from read_parquet("
+            f"'{OF.ensure_perplexity_fixture(ORACLE_SF)}')"
+        ),
+        "clean_text_udf": (
+            "select url, cleaned from read_parquet("
+            f"'{OF.ensure_clean_text_fixture(ORACLE_SF)}')"
+        ),
     }

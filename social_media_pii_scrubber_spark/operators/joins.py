@@ -39,7 +39,8 @@ def anti_join(df: DataFrame, exclude: DataFrame, on: str) -> DataFrame:
     return df.join(F.broadcast(exclude.select(on).distinct()), on=on, how="left_anti")
 
 
-def zip_longest_join(dfs: list[DataFrame], fill: str = "") -> DataFrame:
+def zip_longest_join(dfs: list[DataFrame], fill: str = "",
+                     max_rows: int = 1_000_000) -> DataFrame:
     """J4 — positional outer zip of N single-column DataFrames.
 
     Reference: ``itertools.zip_longest(_a,_b,_c,_d, fillvalue='')``
@@ -49,14 +50,23 @@ def zip_longest_join(dfs: list[DataFrame], fill: str = "") -> DataFrame:
     deterministic order column named ``_ord`` (positional semantics only
     exist relative to an ordering — at scale "file order" is not a
     thing, so the order key is part of the contract).
+
+    SIZE BOUND: the global-order row_number is a single-partition sort —
+    deliberately so; the reference zips 4 report lists of at most a few
+    hundred rows. ``max_rows`` enforces the bound at execution time
+    (raise_error inside the plan, no extra action): a side longer than
+    that means this operator is being misused for corpus-scale data.
     """
     out: DataFrame | None = None
     for i, df in enumerate(dfs):
         value_col = [c for c in df.columns if c != "_ord"][0]
         w = Window.orderBy("_ord")
-        side = df.select(
-            F.row_number().over(w).alias("rn"), F.col(value_col)
-        )
+        rn = F.row_number().over(w)
+        rn = F.when(rn <= max_rows, rn).otherwise(F.raise_error(F.lit(
+            f"zip_longest_join side exceeds max_rows={max_rows}: "
+            "the positional zip is single-partition by design"
+        )))
+        side = df.select(rn.alias("rn"), F.col(value_col))
         out = side if out is None else out.join(side, on="rn", how="full")
     assert out is not None
     value_cols = [c for c in out.columns if c != "rn"]

@@ -14,6 +14,7 @@ struct column — never fail the job on one bad blob).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -47,13 +48,19 @@ def _get_decoder():
     """
     dec = _DECODER_CACHE.get("decoder")
     if dec is None:
-        try:
-            import PIL  # noqa: F401 — real path, not in container
+        # The real PIL path is opt-in: media workers must NEVER fail the
+        # whole job because an optional dependency happens to be
+        # importable but unwired (per-record never-fail contract).
+        if os.environ.get("SCRUB_MEDIA_REAL_DECODER") == "1":
+            try:
+                import PIL  # noqa: F401 — real path, not in container
 
-            raise NotImplementedError(
-                "real PIL decode path not wired in this environment"
-            )
-        except ImportError:
+                raise NotImplementedError(
+                    "real PIL decode path not wired in this environment"
+                )
+            except ImportError:
+                dec = _FakeDecoder()
+        else:
             dec = _FakeDecoder()
         _DECODER_CACHE["decoder"] = dec
     return dec

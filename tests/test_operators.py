@@ -37,6 +37,18 @@ class TestJoins:
         rows = {r.rn: (r.a, r.b) for r in zip_longest_join([a, b]).collect()}
         assert rows == {1: ("x", "p"), 2: ("y", "q"), 3: ("z", "")}
 
+    def test_zip_longest_size_guard(self, spark):
+        """The single-partition positional zip must refuse corpus-scale
+        inputs (raise_error fires inside the plan)."""
+        import pytest
+
+        df = spark.range(10).select(
+            F.col("id").alias("_ord"), F.col("id").cast("string").alias("v")
+        )
+        assert zip_longest_join([df], max_rows=100).count() == 10
+        with pytest.raises(Exception, match="max_rows"):
+            zip_longest_join([df], max_rows=5).collect()
+
 
 class TestPivots:
     def test_last_match_wins(self, spark):
