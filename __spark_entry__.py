@@ -23,6 +23,7 @@ from social_media_pii_scrubber_spark.functions import timeparse as TP
 from social_media_pii_scrubber_spark.functions import oracle_fixtures as OF
 from social_media_pii_scrubber_spark.functions.perplexity import perplexity_pandas_udf
 from social_media_pii_scrubber_spark.operators import dates as D
+from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators import dedup as DD
 from social_media_pii_scrubber_spark.operators import joins as J
 from social_media_pii_scrubber_spark.operators import pivots as P
@@ -396,6 +397,21 @@ def _emb_with_dups(spark, sf):
     return e.select("vec_id", "embedding").unionByName(dups)
 
 
+def q_dedup_clusters(spark, sf):
+    """LSH candidate pairs → connected components (iterative min-label
+    propagation; DuckDB twin is a recursive-CTE closure)."""
+    pairs = DD.lsh_candidate_pairs(_docs_with_dups(spark, sf), "text", "doc_id")
+    return CC.connected_components(pairs)
+
+
+def q_dedup_keep_list(spark, sf):
+    """The end-to-end dedup DECISION over the corpus: keep_dedup flag
+    per doc (cluster representative = min id)."""
+    docs = _docs_with_dups(spark, sf)
+    pairs = DD.lsh_candidate_pairs(docs, "text", "doc_id")
+    return CC.dedup_keep_list(docs.select("doc_id"), pairs, "doc_id")
+
+
 def q_embedding_dup_pairs_amp(spark, sf):
     """OR-amplified near-dup pairs, expr-bucket profile (the scale path's
     oracle-checkable configuration: 2 tables of 2^6 = 64 buckets)."""
@@ -684,6 +700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
         "ann_amp_topk": q_ann_amp_topk,
         "fb_profile_updates": q_fb_profile_updates,
         "tt_user_videos": q_tt_user_videos,
@@ -907,6 +925,14 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "dedup_clusters": CC.connected_components_sql(
+            DD.lsh_candidate_pairs_sql(f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id")
+        ),
+        "dedup_keep_list": CC.dedup_keep_list_sql(
+            f"(select doc_id from ({_DOCS_WITH_DUPS_SQL}))",
+            DD.lsh_candidate_pairs_sql(f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id"),
+            "doc_id",
+        ),
         "embedding_dup_pairs_amp": SIM.embedding_dup_pairs_amplified_sql(
             _EMB_WITH_DUPS_SQL, "embedding", "vec_id", threshold=0.95,
             n_planes=6, n_tables=2, dim=64,

@@ -1,0 +1,126 @@
+"""Connected components + dedup clustering: pairs → clusters → keep-list.
+
+The reference's only dedup is anti-membership (smparsers.py:207). A
+training-data pipeline needs the full chain: candidate PAIRS (MinHash
+LSH / embedding LSH) are not a dedup decision — near-dup relations are
+transitive in practice (A~B, B~C), so pairs must be clustered and one
+representative kept per cluster.
+
+``connected_components`` is min-label propagation to fixpoint with one
+hash join + partial-agg per iteration:
+
+    label(n) ← min(label(n), min over neighbors label(m))
+
+Iterations = graph diameter. Near-dup graphs are unions of near-cliques
+(diameter 2-3), so this converges in 2-4 rounds — for that workload,
+hop propagation beats the asymptotically-better large-star/small-star
+(Kiveris et al., "Connected Components in MapReduce", SoCC'14) on
+constant factors; ``max_iterations`` guards the pathological-chain case
+and the loop STOPS as soon as an iteration changes nothing (driver-side
+count of changed labels — one scalar per iteration, not a collect of
+data). Each iteration localCheckpoints to cut lineage (at cluster
+scale: checkpoint to the reliable store instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``pairs``; the
+    cluster id is the minimum node id reachable from the node."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every iteration
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct() \
+        .withColumn("label", F.col("node"))
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"),
+                              F.col("label").alias("dst_label")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_label"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_label"), F.col("label"))
+                        ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_sql(pairs_sql: str, id_a: str = "id_a",
+                             id_b: str = "id_b") -> str:
+    """DuckDB twin: recursive closure (node, reachable) → min per node.
+
+    Quadratic in cluster size — the ORACLE rendering for the small gate,
+    not the scale algorithm.
+    """
+    return (
+        f"with recursive pairs as ({pairs_sql}), "
+        f"edges as (select {id_a} as src, {id_b} as dst from pairs "
+        f"  union select {id_b} as src, {id_a} as dst from pairs), "
+        f"reach as ("
+        f"  select src as node, src as r from edges "
+        f"  union "
+        f"  select e.src as node, reach.r from edges e "
+        f"  join reach on e.dst = reach.node) "
+        f"select node as id, min(r) as cluster_id from reach group by node"
+    )
+
+
+def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
+                    max_iterations: int = 20) -> DataFrame:
+    """The dedup DECISION: every row of ``df``, flagged keep/drop.
+
+    Cluster representatives are the min id per component; rows not in
+    any pair are their own representative (kept). One broadcast-able
+    join against the (small) drop-list — at 100 TB the drop-list is a
+    fraction of the corpus, so the corpus-side scan stays shuffle-free.
+    """
+    comp = connected_components(pairs, max_iterations=max_iterations)
+    drops = comp.filter(F.col("id") != F.col("cluster_id")) \
+        .select(F.col("id").alias(id_col)).withColumn("_drop", F.lit(True))
+    return (
+        df.join(F.broadcast(drops), on=id_col, how="left")
+        .withColumn("keep_dedup", F.col("_drop").isNull())
+        .drop("_drop")
+    )
+
+
+def dedup_keep_list_sql(table_sql: str, pairs_sql: str, id_col: str) -> str:
+    cc = connected_components_sql(pairs_sql)
+    return (
+        f"with cc as ({cc}) "
+        f"select t.*, t.{id_col} not in "
+        f"(select id from cc where id != cluster_id) as keep_dedup "
+        f"from {table_sql} t"
+    )

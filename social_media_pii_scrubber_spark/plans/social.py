@@ -51,6 +51,29 @@ def _yes(cond: Column) -> Column:
 # Facebook (smparsers.py:14-231)
 # =========================================================================
 
+def fb_username_from_profile(profile: DataFrame) -> str:
+    """parse_profile_metadata (smparsers.py:21-25): the candidate's
+    username extracted from profile_information JSON — a one-row config
+    source (S7) feeding ScrubConfig.username, not a dataflow.
+
+    Input schema mirrors profile_v2: profile_v2:struct<name:struct<
+    full_name:string>>.
+    """
+    row = profile.select(
+        F.col("profile_v2")["name"]["full_name"].alias("u")
+    ).first()
+    return row.u if row else ""
+
+
+def ig_username_from_profile(profile: DataFrame) -> str:
+    """IG parse_profile_metadata (smparsers.py:239-243):
+    profile_user[0].string_map_data.Username.value."""
+    row = profile.select(
+        F.col("profile_user")[0]["string_map_data"]["Username"]["value"].alias("u")
+    ).first()
+    return row.u if row else ""
+
+
 def fb_friends_counts(friends: DataFrame, removed: DataFrame) -> DataFrame:
     """parse_friends (smparsers.py:26-36): two global counts, one row."""
     a = friends.agg(F.count(F.lit(1)).alias("Total Friends"))

@@ -59,6 +59,83 @@ def windowed_drop_rates(
     )
 
 
+def streaming_exact_dedup(
+    pages_stream: DataFrame, watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state.
+
+    The batch ``exact_dedup`` keeps min-id per fingerprint over the whole
+    corpus; a stream can't hold infinite fingerprint state, so the
+    streaming contract is "drop re-occurrences within the watermark
+    horizon": ``dropDuplicatesWithinWatermark`` evicts fingerprint state
+    once the event-time watermark passes — the standard
+    bounded-state/bounded-recall trade every streaming dedup makes.
+    """
+    from ..functions.text import fingerprint_fast_expr
+
+    return (
+        pages_stream
+        .withColumn("fp", fingerprint_fast_expr(F.col(text_col)))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+        .drop("fp")
+    )
+
+
+def stateful_host_counters(
+    pages_stream: DataFrame, cfg: ScrubConfig | None = None,
+    timeout_minutes: int | None = None,
+):
+    """Custom stateful operator (applyInPandasWithState): RUNNING
+    per-host (rows_in, rows_kept) counters across micro-batches.
+
+    Windowed aggs can't express "cumulative counters emitted every
+    batch"; explicit state can. State per host is two int64s — bounded
+    by the active-host set. Pass ``timeout_minutes`` to additionally
+    evict hosts idle past that processing time (flushed with
+    final=true); note a processing-time timeout keeps the engine
+    triggering even without data, so tests/drains use the default
+    NoTimeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    scored = streaming_filter_scrub(pages_stream, cfg)
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    by_host = scored.select(host.alias("host"), "keep").groupBy("host")
+
+    def update(key, pdf_iter, state: GroupState):
+        rows, kept = state.get if state.exists else (0, 0)
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"host": [key[0]], "rows_in": [rows], "rows_kept": [kept],
+                 "final": [True]}
+            )
+            return
+        for pdf in pdf_iter:
+            rows += len(pdf)
+            kept += int(pdf["keep"].sum())
+        state.update((rows, kept))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            {"host": [key[0]], "rows_in": [rows], "rows_kept": [kept],
+             "final": [False]}
+        )
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes is not None else GroupStateTimeout.NoTimeout)
+    return by_host.applyInPandasWithState(
+        update,
+        outputStructType="host string, rows_in long, rows_kept long, final boolean",
+        stateStructType="rows long, kept long",
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, pages_stream: DataFrame, cfg: ScrubConfig | None = None,
     table_name: str = "scrubbed_stream",

@@ -1,0 +1,60 @@
+"""Connected-components clustering semantics (operators/components.py)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.operators.components import (
+    connected_components, dedup_keep_list,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        pd.DataFrame(edges, columns=["id_a", "id_b"]), "id_a long, id_b long"
+    )
+
+
+def _clusters(df):
+    return {r.id: r.cluster_id for r in df.collect()}
+
+
+def test_two_cliques(spark):
+    pairs = _pairs(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+    got = _clusters(connected_components(pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_chain_transitivity(spark):
+    """A~B, B~C, C~D: the relation is transitive through propagation
+    even though (A,D) was never a candidate pair."""
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = _clusters(connected_components(pairs))
+    assert set(got.values()) == {1}
+
+
+def test_direction_independence(spark):
+    """Edges arrive as id_a < id_b, but labels must flow both ways."""
+    pairs = _pairs(spark, [(5, 9), (1, 9)])  # 1 reaches 5 only via 9
+    got = _clusters(connected_components(pairs))
+    assert got == {1: 1, 5: 1, 9: 1}
+
+
+def test_max_iterations_guard(spark):
+    """A long chain with too few iterations must still return a valid
+    partial labeling (every label is a real node id, no crash)."""
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1, 12)])
+    got = _clusters(connected_components(pairs, max_iterations=2))
+    assert set(got) == set(range(1, 13))
+    assert all(v <= k for k, v in got.items())
+
+
+def test_dedup_keep_list_flags(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 50]}), "doc_id long"
+    )
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {r.doc_id: r.keep_dedup for r in
+           dedup_keep_list(df, pairs, "doc_id").collect()}
+    # representatives (min per cluster) and untouched rows keep
+    assert got == {1: True, 2: False, 3: False, 10: True, 11: False, 50: True}

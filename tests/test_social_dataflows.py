@@ -22,6 +22,19 @@ IN_TS = 1640000000    # 2021-12-20, inside window
 OUT_TS = 1500000000   # 2017, outside window
 
 
+class TestProfileMetadata:
+    def test_fb_username(self, spark):
+        df = spark.createDataFrame(
+            [Row(profile_v2=Row(name=Row(full_name="Maggie Nail")))])
+        assert S.fb_username_from_profile(df) == "Maggie Nail"
+
+    def test_ig_username(self, spark):
+        df = spark.createDataFrame(
+            [Row(profile_user=[Row(string_map_data=Row(
+                Username=Row(value="maggie.nail")))])])
+        assert S.ig_username_from_profile(df) == "maggie.nail"
+
+
 class TestFBReactions:
     def test_pivot_with_totals(self, spark):
         rows = [

@@ -34,6 +34,70 @@ def test_windowed_drop_rates_with_watermark(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Planted duplicate texts in one micro-batch are dropped; state is
+    watermark-bounded by construction."""
+    from pyspark.sql import functions as F
+
+    from social_media_pii_scrubber_spark.streaming.stream_pipeline import (
+        streaming_exact_dedup,
+    )
+
+    batch = webpages_from_documents(spark, sf_dir).limit(50)
+    dup = batch.withColumn(
+        "url", F.concat(F.col("url"), F.lit("?dup"))
+    )  # same text, different url → same fingerprint
+    src = str(tmp_path / "feed3")
+    batch.unionByName(dup).write.parquet(src)
+
+    stream = stream_pages_from_directory(spark, src, batch.schema)
+    q = (streaming_exact_dedup(stream, watermark="30 days")
+         .writeStream.format("memory").queryName("t_dedup")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        n = spark.sql("select count(*) c from t_dedup").collect()[0].c
+        assert n == 50, f"expected 50 deduped rows, got {n}"
+    finally:
+        q.stop()
+
+
+def test_stateful_host_counters(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: cumulative per-host counters across TWO
+    micro-batches (second batch adds to the first's state)."""
+    from pyspark.sql import functions as F
+
+    from social_media_pii_scrubber_spark.streaming.stream_pipeline import (
+        stateful_host_counters,
+    )
+
+    batch = webpages_from_documents(spark, sf_dir).limit(120)
+    pdf = batch.toPandas()
+    src = str(tmp_path / "feed4")
+    spark.createDataFrame(pdf.iloc[:60], batch.schema).write.parquet(src)
+
+    stream = stream_pages_from_directory(spark, src, batch.schema)
+    q = (stateful_host_counters(stream, ScrubConfig())
+         .writeStream.format("memory").queryName("t_hosts")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        first = {r.host: r.rows_in for r in spark.table("t_hosts").collect()}
+        assert sum(first.values()) == 60
+        # second micro-batch: counters must ACCUMULATE, not reset
+        spark.createDataFrame(pdf.iloc[60:], batch.schema) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.table("t_hosts").collect()
+        latest = {}
+        for r in rows:  # memory sink appends updates; take the max per host
+            latest[r.host] = max(latest.get(r.host, 0), r.rows_in)
+        assert sum(latest.values()) == 120
+        assert all(not r.final for r in rows)
+    finally:
+        q.stop()
+
+
 def test_streaming_scrub_end_to_end(spark, sf_dir, tmp_path):
     batch = webpages_from_documents(spark, sf_dir)
     src = str(tmp_path / "feed")
