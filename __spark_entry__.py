@@ -300,6 +300,23 @@ def q_quality_heuristics(spark, sf):
     )
 
 
+def q_quality_repetition(spark, sf):
+    """Gopher repetition family + C4 line-shape rules. The documents
+    corpus has no newlines, so lines are synthesized deterministically
+    by breaking on the word 'the' — exercising every rule's non-trivial
+    path in both engines."""
+    d = _t(spark, sf, "documents")
+    t = F.regexp_replace(F.col("text"), r" the ", "\nthe ")
+    return d.select(
+        "doc_id",
+        Q.dup_line_fraction_expr(t).alias("dup_line_frac"),
+        Q.top_bigram_fraction_expr(t).alias("top_bigram_frac"),
+        Q.ellipsis_line_fraction_expr(t).alias("ellipsis_frac"),
+        Q.bullet_line_fraction_expr(t).alias("bullet_frac"),
+        Q.repetition_keep_expr(t).alias("rep_keep"),
+    )
+
+
 def q_langid(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select("doc_id", L.langid_expr(F.col("text")).alias("pred_lang"))
@@ -678,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f12_json_path": q_f12_json_path,
         "scrub_bank": q_scrub_bank,
         "quality_heuristics": q_quality_heuristics,
+        "quality_repetition": q_quality_repetition,
         "langid": q_langid,
         "flagship_pipeline": q_flagship_pipeline,
         "tok_counts": q_tok_counts,
@@ -845,6 +863,18 @@ def oracle_sql() -> dict[str, str]:
             f"{Q.stopword_fraction_sql('text')} as stopword_fraction, "
             f"{Q.keep_sql('text')} as keep "
             "from documents"
+        ),
+        "quality_repetition": (
+            "with lined as (select doc_id, "
+            "regexp_replace(text, ' the ', chr(10) || 'the ', 'g') as t "
+            "from documents) "
+            "select doc_id, "
+            f"{Q.dup_line_fraction_sql('t')} as dup_line_frac, "
+            f"{Q.top_bigram_fraction_sql('t')} as top_bigram_frac, "
+            f"{Q.ellipsis_line_fraction_sql('t')} as ellipsis_frac, "
+            f"{Q.bullet_line_fraction_sql('t')} as bullet_frac, "
+            f"{Q.repetition_keep_sql('t')} as rep_keep "
+            "from lined"
         ),
         "langid": (
             f"select doc_id, {L.langid_sql('text')} as pred_lang from documents"

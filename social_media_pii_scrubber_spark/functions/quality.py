@@ -129,6 +129,142 @@ def stopword_fraction_sql(text: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher repetition family + C4 line-shape rules
+# ---------------------------------------------------------------------------
+
+def lines_expr(text: Column) -> Column:
+    return F.split(text, "\n")
+
+
+def lines_sql(text: str) -> str:
+    return f"string_split({text}, chr(10))"
+
+
+def dup_line_fraction_expr(text: Column) -> Column:
+    """Gopher: fraction of lines that repeat an earlier line."""
+    ls = lines_expr(text)
+    return F.round(
+        (F.lit(1.0) - F.size(F.array_distinct(ls))
+         / F.nullif(F.size(ls), F.lit(0))).cast("double"),
+        6,
+    )
+
+
+def dup_line_fraction_sql(text: str) -> str:
+    ls = lines_sql(text)
+    return f"round(1.0 - len(list_distinct({ls})) / nullif(len({ls}), 0), 6)"
+
+
+def top_bigram_fraction_expr(text: Column) -> Column:
+    """Gopher: fraction of tokens covered by the MOST FREQUENT bigram
+    (token-count flavor of Gopher's top-2-gram character fraction).
+
+    Single pass per row: sort the bigram array once, then one
+    ``aggregate`` fold computes the longest equal-run. A naive
+    distinct×filter HOF nesting re-inlines (and re-evaluates) the bigram
+    construction per distinct element — measured 20× slower — because
+    interpreted HOFs have no common-subexpression reuse.
+    """
+    w = words_expr(text)
+    n = F.size(w)
+    bigrams = F.array_sort(F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
+    ))
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top = F.aggregate(bigrams, zero, step, lambda acc: acc["best"])
+    frac = F.round((top * 2.0 / n).cast("double"), 6)
+    return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+
+
+def top_bigram_fraction_sql(text: str) -> str:
+    # correlated scalar subquery: the bigram list is built ONCE, unnested,
+    # and the max group count taken — DuckDB 1.0's list_reduce has no
+    # initial-value form, so the fold can't be mirrored literally.
+    w = words_sql(text)
+    bigrams = (
+        f"list_transform(range(1, greatest(len({w}) - 1, 0) + 1), "
+        f"i -> {w}[i] || ' ' || {w}[i + 1])"
+    )
+    top = (
+        f"(select max(c) from (select count(*) as c from unnest({bigrams}) "
+        f"as u(b) group by b))"
+    )
+    return (
+        f"(case when len({w}) >= 2 "
+        f"then round({top} * 2.0 / len({w}), 6) else 0.0 end)"
+    )
+
+
+def ellipsis_line_fraction_expr(text: Column) -> Column:
+    """C4: fraction of lines ending in an ellipsis."""
+    ls = lines_expr(text)
+    hits = F.size(F.filter(ls, lambda l: l.rlike(r"\.\.\.\s*$")))
+    return F.round(hits.cast("double") / F.nullif(F.size(ls), F.lit(0)), 6)
+
+
+def ellipsis_line_fraction_sql(text: str) -> str:
+    ls = lines_sql(text)
+    return (
+        f"round(len(list_filter({ls}, l -> regexp_matches(l, '\\.\\.\\.\\s*$')))"
+        f" / nullif(len({ls}), 0), 6)"
+    )
+
+
+def bullet_line_fraction_expr(text: Column) -> Column:
+    """C4: fraction of lines that are bullet/numbered-list items."""
+    ls = lines_expr(text)
+    hits = F.size(F.filter(ls, lambda l: l.rlike(r"^\s*([-*]|\d+\.)\s")))
+    return F.round(hits.cast("double") / F.nullif(F.size(ls), F.lit(0)), 6)
+
+
+def bullet_line_fraction_sql(text: str) -> str:
+    ls = lines_sql(text)
+    return (
+        f"round(len(list_filter({ls}, "
+        f"l -> regexp_matches(l, '^\\s*([-*]|[0-9]+\\.)\\s')))"
+        f" / nullif(len({ls}), 0), 6)"
+    )
+
+
+# repetition-family thresholds (Gopher-flavored); exposed as a separate
+# composite so the flagship keep decision (and its goldens) stays stable
+MAX_DUP_LINE_FRACTION = 0.30
+MAX_TOP_BIGRAM_FRACTION = 0.20
+MAX_ELLIPSIS_LINE_FRACTION = 0.30
+MAX_BULLET_LINE_FRACTION = 0.90
+
+
+def repetition_keep_expr(text: Column) -> Column:
+    """Composite keep over the repetition/line-shape family."""
+    return (
+        (dup_line_fraction_expr(text) <= MAX_DUP_LINE_FRACTION)
+        & (top_bigram_fraction_expr(text) <= MAX_TOP_BIGRAM_FRACTION)
+        & (ellipsis_line_fraction_expr(text) <= MAX_ELLIPSIS_LINE_FRACTION)
+        & (bullet_line_fraction_expr(text) <= MAX_BULLET_LINE_FRACTION)
+    )
+
+
+def repetition_keep_sql(text: str) -> str:
+    return (
+        f"({dup_line_fraction_sql(text)} <= {MAX_DUP_LINE_FRACTION}"
+        f" and {top_bigram_fraction_sql(text)} <= {MAX_TOP_BIGRAM_FRACTION}"
+        f" and {ellipsis_line_fraction_sql(text)} <= {MAX_ELLIPSIS_LINE_FRACTION}"
+        f" and {bullet_line_fraction_sql(text)} <= {MAX_BULLET_LINE_FRACTION})"
+    )
+
+
 def keep_expr(text: Column) -> Column:
     """Composite keep/drop decision from the heuristic bank."""
     nw = n_words_expr(text)

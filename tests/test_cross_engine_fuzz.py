@@ -28,6 +28,8 @@ FRAGMENTS = [
     "CAPS LOCK TEXT", "mIxEd CaSe", "semi;colon", "2024-01-01 00:00:00.123",
     "12:30", "999-99-9999", "@h@h@h", "a.b@c.d@e.f", "<tag>x</tag>", "%%%",
     "the der le el und pas que", "is ist est",
+    "line1\nline1\nline2", "- bullet\n* b2\n1. three\n12.no", "dots...\nmore... ",
+    "...", "\n\n", "rep rep rep rep rep", "a b a b a b", "one\n", "x\ny\nx\ny",
 ]
 
 
@@ -54,6 +56,11 @@ def test_all_twins_agree(spark, corpora):
         T.bpe_ish_token_count_expr(F.col("t")).alias("bpe"),
         T.fingerprint_expr(F.col("t")).alias("fp"),
         T.rolling_hash_expr(F.col("t")).alias("rh"),
+        Q.dup_line_fraction_expr(F.col("t")).alias("dlf"),
+        Q.top_bigram_fraction_expr(F.col("t")).alias("tbf"),
+        Q.ellipsis_line_fraction_expr(F.col("t")).alias("elf"),
+        Q.bullet_line_fraction_expr(F.col("t")).alias("blf"),
+        Q.repetition_keep_expr(F.col("t")).alias("rkeep"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -63,7 +70,12 @@ def test_all_twins_agree(spark, corpora):
         f"{Q.symbol_ratio_sql('t')} as sr, {Q.stopword_fraction_sql('t')} as sw, "
         f"{Q.mean_word_len_sql('t')} as mwl, {Q.distinct_ratio_sql('t')} as dr, "
         f"{L.langid_sql('t')} as lang, {T.bpe_ish_token_count_sql('t')} as bpe, "
-        f"{T.fingerprint_sql('t')} as fp, {T.rolling_hash_sql('t')} as rh from tt"
+        f"{T.fingerprint_sql('t')} as fp, {T.rolling_hash_sql('t')} as rh, "
+        f"{Q.dup_line_fraction_sql('t')} as dlf, "
+        f"{Q.top_bigram_fraction_sql('t')} as tbf, "
+        f"{Q.ellipsis_line_fraction_sql('t')} as elf, "
+        f"{Q.bullet_line_fraction_sql('t')} as blf, "
+        f"{Q.repetition_keep_sql('t')} as rkeep from tt"
     ).df()
 
     for col in sp.columns:
