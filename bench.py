@@ -102,6 +102,13 @@ def main() -> None:
     _count(DD.lsh_candidate_pairs_fast(docs, "text", "doc_id"))
     timings["q4b_minhash_lsh_wide"] = t() - t0
 
+    # q4c: the full production near-dup chain (wide LSH → jaccard verify
+    # → connected components → keep flags)
+    from social_media_pii_scrubber_spark.operators.components import near_dup_dedup
+    t0 = t()
+    _count(near_dup_dedup(docs, "text", "doc_id").filter("keep_dedup"))
+    timings["q4c_near_dup_dedup_e2e"] = t() - t0
+
     # q5: simhash signatures (md5 oracle profile)
     t0 = t()
     _count(DD.simhash_signature(docs, "text", "doc_id"))

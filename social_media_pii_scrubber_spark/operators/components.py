@@ -116,6 +116,45 @@ def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
     )
 
 
+def near_dup_dedup(df: DataFrame, text_col: str, id_col: str,
+                   jaccard_threshold: float = 0.8,
+                   num_hashes: int | None = None,
+                   band_size: int | None = None) -> DataFrame:
+    """The PRODUCTION near-dup chain, end to end:
+
+        wide xxhash MinHash-LSH candidates (128 hashes / 16 bands)
+          → exact shingle-Jaccard verification (candidates only)
+          → connected components (transitive closure)
+          → keep_dedup flag per row (min-id representative kept)
+
+    This is the operator a 100-TB training-data pipeline actually runs;
+    the md5 profile (`dedup_keep_list` oracle entry) pins the identical
+    topology against DuckDB at gate scale, and
+    tests/test_dedup_recall.py pins this chain's recall on planted
+    J≈0.85 near-dups.
+    """
+    from .dedup import (
+        WIDE_BAND_SIZE, WIDE_NUM_HASHES, lsh_candidate_pairs_fast, shingles_expr,
+    )
+
+    cands = lsh_candidate_pairs_fast(
+        df, text_col, id_col,
+        num_hashes or WIDE_NUM_HASHES, band_size or WIDE_BAND_SIZE,
+    )
+    sh = df.select(F.col(id_col), shingles_expr(F.col(text_col)).alias("sh"))
+    joined = (
+        cands
+        .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+    )
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0))
+    )
+    pairs = joined.filter(jac >= jaccard_threshold).select("id_a", "id_b")
+    return dedup_keep_list(df, pairs, id_col)
+
+
 def dedup_keep_list_sql(table_sql: str, pairs_sql: str, id_col: str) -> str:
     cc = connected_components_sql(pairs_sql)
     return (

@@ -76,6 +76,27 @@ def test_wide_profile_beats_oracle_profile(planted):
     assert hits_w >= hits_n
 
 
+def test_near_dup_dedup_end_to_end(planted):
+    """The full production chain: a planted J>=0.8 near-dup must be
+    dropped while its original is kept; untouched docs keep."""
+    from social_media_pii_scrubber_spark.operators.components import near_dup_dedup
+
+    df, truth = planted
+    out = {r.doc_id: r.keep_dedup for r in
+           near_dup_dedup(df, "text", "doc_id").collect()}
+    assert len(out) == df.count()
+    eligible = [d for d, j in truth.items() if j >= 0.8]
+    # originals (min id of the pair) always kept
+    assert all(out[d] for d in eligible)
+    # planted copies dropped with recall >= 0.9
+    dropped = sum(not out[d + 100000] for d in eligible)
+    assert dropped / len(eligible) >= 0.9
+    # docs never planted and never colliding keep
+    planted_ids = set(truth) | {d + 100000 for d in truth}
+    untouched_kept = [v for k, v in out.items() if k not in planted_ids]
+    assert sum(untouched_kept) / len(untouched_kept) > 0.95
+
+
 class TestSimhashFast:
     def test_identical_texts_same_signature(self, spark):
         docs = spark.read.parquet(f"{SF}/documents.parquet") \
