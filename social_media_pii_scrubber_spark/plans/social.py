@@ -96,6 +96,49 @@ def fb_reactions_report(reactions: DataFrame, cfg: ScrubConfig) -> DataFrame:
     return pivot_count(typed, "Type", "Category", REACTION_CATEGORIES, total_name="Total")
 
 
+def _comment_columns(att: DataFrame, key_cols: list[str], cfg: ScrubConfig,
+                     sep: str) -> DataFrame:
+    """Reference-exact comment routing + scrub for attachment frames.
+
+    The reference cleans EACH comment, quotes it, and joins
+    (smparsers.py:121-126, 171-177) — so the alias bug's count=2 cap and
+    the handle regex apply per comment, never across a joined string.
+    pandas UDFs can't run inside HOF lambdas, so: posexplode the
+    comments, scrub per exploded row, then re-aggregate in comment order
+    (array_sort on (pos, …) structs).
+
+    Input: ``key_cols`` + ``comments:array<struct<author,comment>>``.
+    Output: key_cols + `Subject Comments` + `Friend Comments`.
+    """
+    clean = clean_text_pandas_udf(cfg)
+    c = att.select(
+        *key_cols,
+        F.posexplode_outer(
+            F.coalesce(F.col("comments"), F.array())
+        ).alias("_ci", "_c"),
+    )
+    c = c.select(
+        *key_cols, "_ci",
+        F.col("_c.author").contains(cfg.username).alias("_self"),
+        F.concat(F.lit('"'), clean(F.col("_c.comment")), F.lit('"')).alias("_q"),
+    )
+    cs = F.array_sort(F.collect_list(F.struct("_ci", "_self", "_q")))
+    agg = c.groupBy(*key_cols).agg(cs.alias("_cs"))
+    side = lambda want_self: F.array_join(
+        F.transform(
+            F.filter(F.col("_cs"),
+                     lambda x: x["_self"] if want_self else ~x["_self"]),
+            lambda x: x["_q"],
+        ),
+        sep,
+    )
+    return agg.select(
+        *key_cols,
+        side(True).alias("Subject Comments"),
+        side(False).alias("Friend Comments"),
+    )
+
+
 def fb_posts_payload(posts: DataFrame, cfg: ScrubConfig) -> DataFrame:
     """parse_posts (smparsers.py:75-134): post rows + per-attachment rows.
 
@@ -141,37 +184,33 @@ def fb_posts_payload(posts: DataFrame, cfg: ScrubConfig) -> DataFrame:
         ph_num_expr(F.col("j")), ext,
     )
 
-    # comments routed by author containing username (smparsers.py:125).
-    # pandas UDFs can't run inside HOF lambdas, so each side is quoted
-    # and joined with pure column ops, then scrubbed ONCE on the joined
-    # string. Divergence from the reference (scrub per comment): the
-    # alias bug's count=2 cap applies per attachment instead of per
-    # comment — observable only when an alias occurs >2 times across
-    # one attachment's comments.
-    comments = F.coalesce(F.col("att.media.comments"), F.array())
-    is_self = lambda c: c["author"].contains(cfg.username)
-    quote = lambda c: F.concat(F.lit('"'), c["comment"], F.lit('"'))
-    sc = clean(F.array_join(F.transform(F.filter(comments, is_self), quote), "; "))
-    fc = clean(F.array_join(
-        F.transform(F.filter(comments, lambda c: ~is_self(c)), quote), "; "
-    ))
-
     caption_media = F.array_compact(F.array(
         F.col("att.media.title"), clean(F.col("att.media.description"))
     ))
     caption_ext = F.array(F.concat(F.lit(": "), F.col("att.external_context.uri")))
 
-    att_rows = (
+    # comments routed by author containing username (smparsers.py:125),
+    # scrubbed PER COMMENT exactly like the reference (the alias bug's
+    # count=2 cap applies per comment string) — see _comment_columns.
+    keyed = (
         att.filter((is_media & ext.isNotNull()) | is_ext)
         .select(
-            "Date", "Time",
+            "id", "j", "Date", "Time",
             F.when(is_media, media_fp).otherwise(F.lit("External")).alias("Location"),
             F.when(is_media, out_path).otherwise(F.lit("")).alias("Post"),
             F.array_join(
                 F.when(is_media, caption_media).otherwise(caption_ext), "; "
             ).alias("Caption"),
-            sc.alias("Subject Comments"),
-            fc.alias("Friend Comments"),
+            F.col("att.media.comments").alias("comments"),
+        )
+    )
+    cmts = _comment_columns(keyed.select("id", "j", "comments"), ["id", "j"], cfg, "; ")
+    att_rows = (
+        keyed.drop("comments")
+        .join(cmts, on=["id", "j"])
+        .select(
+            "Date", "Time", "Location", "Post", "Caption",
+            "Subject Comments", "Friend Comments",
             F.lit("attachment").alias("row_kind"),
         )
     )
@@ -219,26 +258,25 @@ def fb_profile_updates_payload(updates: DataFrame, cfg: ScrubConfig) -> DataFram
         ph_num_expr(F.col("j")), ext,
     )
 
-    # same quoting/routing as fb_posts_payload; the reference joins with
-    # ';' here (no space, smparsers.py:187-188). Scrub-once divergence as
-    # documented on fb_posts_payload.
-    comments = F.coalesce(F.col("att.media.comments"), F.array())
-    is_self = lambda c: c["author"].contains(cfg.username)
-    quote = lambda c: F.concat(F.lit('"'), c["comment"], F.lit('"'))
-    sc = clean(F.array_join(F.transform(F.filter(comments, is_self), quote), ";"))
-    fc = clean(F.array_join(
-        F.transform(F.filter(comments, lambda c: ~is_self(c)), quote), ";"
-    ))
-
-    att_rows = (
+    # same per-comment scrub/routing as fb_posts_payload; the reference
+    # joins with ';' here (no space, smparsers.py:187-188).
+    keyed = (
         att.filter(ext.isNotNull())
         .select(
-            "Date", "Time",
+            "id", "j", "Date", "Time",
             media_fp.alias("Location"),
             out_path.alias("Post"),
             F.col("_caption").alias("Caption"),
-            sc.alias("Subject Comments"),
-            fc.alias("Friend Comments"),
+            F.col("att.media.comments").alias("comments"),
+        )
+    )
+    cmts = _comment_columns(keyed.select("id", "j", "comments"), ["id", "j"], cfg, ";")
+    att_rows = (
+        keyed.drop("comments")
+        .join(cmts, on=["id", "j"])
+        .select(
+            "Date", "Time", "Location", "Post", "Caption",
+            "Subject Comments", "Friend Comments",
             F.lit("attachment").alias("row_kind"),
         )
     )

@@ -97,6 +97,28 @@ class TestFBPosts:
         ext = [r for r in rows if r.Location == "External"][0]
         assert ext.Caption == ": https://ex.example/link"
 
+    def test_comment_scrub_is_per_comment(self, spark):
+        """The alias bug's count=2 cap applies PER COMMENT (the reference
+        calls clean_text on each comment, smparsers.py:121-126): an alias
+        appearing twice in each of two comments must be replaced all 4
+        times, which a scrub-of-the-joined-string would cap at 2."""
+        posts = spark.createDataFrame([
+            Row(id=0, timestamp=IN_TS, title=None, data=None,
+                attachments=[Row(data=[
+                    Row(media=Row(uri="photos/a.jpg", title="t",
+                                  description=None,
+                                  comments=[
+                                      Row(author="Friend X", comment="megs megs"),
+                                      Row(author="Friend Y", comment="megs megs"),
+                                  ]),
+                        external_context=None),
+                ])]),
+        ], schema=self._posts(spark).schema)
+        rows = S.fb_posts_payload(posts, CFG).collect()
+        att = [r for r in rows if r.row_kind == "attachment"][0]
+        assert att["Friend Comments"] == \
+            '"{{ALIAS}} {{ALIAS}}"; "{{ALIAS}} {{ALIAS}}"'
+
     def test_rem_comments_and_anti_join(self, spark):
         rem = S.fb_rem_comments(self._posts(spark), CFG)
         assert [r.comment for r in rem.collect()] == ["mine"]
