@@ -659,6 +659,21 @@ def q_media_scrub(spark, sf):
     return scrub_media(pages)
 
 
+def q_media_scrub_hex(spark, sf):
+    """media_scrub value-checked: hex-projected output (strings/bigints
+    only, so the cross-engine hash is type-stable) vs the driver-side
+    decoder fixture."""
+    _pin_session(spark)
+    out = scrub_media(webpages_from_documents(spark, sf))
+    return out.select(
+        "url",
+        F.hex(F.col("scrubbed_bytes")).alias("scrubbed_hex"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        "status",
+    )
+
+
 def q_clean_text_udf(spark, sf):
     from social_media_pii_scrubber_spark.config import FIXTURE_CONFIG
     _pin_session(spark)
@@ -725,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tt_user_videos": q_tt_user_videos,
         "perplexity_udf": q_perplexity_udf,
         "media_scrub": q_media_scrub,
+        "media_scrub_hex": q_media_scrub_hex,
         "clean_text_udf": q_clean_text_udf,
     }
 
@@ -985,5 +1001,9 @@ def oracle_sql() -> dict[str, str]:
         "clean_text_udf": (
             "select url, cleaned from read_parquet("
             f"'{OF.ensure_clean_text_fixture(ORACLE_SF)}')"
+        ),
+        "media_scrub_hex": (
+            "select url, scrubbed_hex, width, height, status from read_parquet("
+            f"'{OF.ensure_media_scrub_fixture(ORACLE_SF)}')"
         ),
     }

@@ -63,6 +63,43 @@ def ensure_perplexity_fixture(sf_dir: str) -> str:
     return path
 
 
+def ensure_media_scrub_fixture(sf_dir: str) -> str:
+    """(url, scrubbed_hex, width, height, status) via the deterministic
+    decoder applied driver-side to the DuckDB-rendered html blobs —
+    cross-checks the mapInPandas plumbing AND the html synthesis twins."""
+    import duckdb
+
+    from ..operators.media import _FakeDecoder
+    from ..sources.webpages import webpages_from_documents_sql
+
+    path = os.path.join(FIXTURE_DIR, f"media_scrub_{_source_key(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        con = duckdb.connect()
+        con.sql(
+            f"create view documents as select * from '{sf_dir}/documents.parquet'"
+        )
+        pages = con.sql(
+            "select url, html from (" + webpages_from_documents_sql() + ")"
+        ).df()
+        dec = _FakeDecoder()
+
+        def row(blob):
+            blob = bytes(blob)
+            w, h = dec.decode_meta(blob)
+            return dec.blur(blob).hex().upper(), w, h
+
+        cols = pages.html.map(row)
+        pages["scrubbed_hex"] = cols.map(lambda t: t[0])
+        pages["width"] = cols.map(lambda t: t[1]).astype("int64")
+        pages["height"] = cols.map(lambda t: t[2]).astype("int64")
+        pages["status"] = "ok"
+        _atomic_write_parquet(
+            pages[["url", "scrubbed_hex", "width", "height", "status"]], path
+        )
+    return path
+
+
 def ensure_clean_text_fixture(sf_dir: str) -> str:
     """(url, cleaned) via driver-side clean_text over the DuckDB-rendered
     webpages CTE (independent of the Spark page synthesis)."""
