@@ -27,6 +27,7 @@ from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators import dedup as DD
 from social_media_pii_scrubber_spark.operators import joins as J
 from social_media_pii_scrubber_spark.operators import pivots as P
+from social_media_pii_scrubber_spark.operators import sampling as SA
 from social_media_pii_scrubber_spark.operators import similarity as SIM
 from social_media_pii_scrubber_spark.operators import windows as W
 from social_media_pii_scrubber_spark.operators.media import scrub_media
@@ -414,6 +415,29 @@ def _emb_with_dups(spark, sf):
     return e.select("vec_id", "embedding").unionByName(dups)
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_sample_by_hash(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return SA.sample_by_hash(d, "doc_id", rate=0.25)
+
+
+def q_split_by_hash(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id")
+    return SA.split_by_hash(d, "doc_id", _SPLIT_WEIGHTS)
+
+
+def q_cap_per_key(spark, sf):
+    ev = _t(spark, sf, "events").select("event_id", "user_id")
+    return SA.cap_per_key(ev, "user_id", n=3, order_col="event_id")
+
+
+def q_train_char_lm(spark, sf):
+    d = _t(spark, sf, "documents")
+    return SA.train_char_lm(d, "text")
+
+
 def q_dedup_clusters(spark, sf):
     """LSH candidate pairs → connected components (iterative min-label
     propagation; DuckDB twin is a recursive-CTE closure)."""
@@ -733,6 +757,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "sample_by_hash": q_sample_by_hash,
+        "split_by_hash": q_split_by_hash,
+        "cap_per_key": q_cap_per_key,
+        "train_char_lm": q_train_char_lm,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "ann_amp_topk": q_ann_amp_topk,
@@ -971,6 +999,16 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "sample_by_hash": SA.sample_by_hash_sql(
+            "(select doc_id, lang from documents)", "doc_id", rate=0.25
+        ),
+        "split_by_hash": SA.split_by_hash_sql(
+            "(select doc_id from documents)", "doc_id", _SPLIT_WEIGHTS
+        ),
+        "cap_per_key": SA.cap_per_key_sql(
+            "(select event_id, user_id from events)", "user_id", 3, "event_id"
+        ),
+        "train_char_lm": SA.train_char_lm_sql("documents", "text"),
         "dedup_clusters": CC.connected_components_sql(
             DD.lsh_candidate_pairs_sql(f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id")
         ),

@@ -1,0 +1,164 @@
+"""Deterministic sampling / splitting / capping for training pipelines.
+
+``df.sample()`` is seed-per-partition: the kept set changes when the
+partitioning changes, which breaks checkpoint resume and cross-run
+reproducibility. Every operator here derives its decision from a HASH
+OF THE ROW KEY, so results are identical on any cluster layout, any
+retry, any engine:
+
+- ``sample_by_hash``   — Bernoulli-by-hash keep/drop at a given rate;
+- ``split_by_hash``    — disjoint train/val/test assignment by weights;
+- ``cap_per_key``      — at most N rows per key (host caps for crawl
+  skew), deterministic rank order;
+- ``train_char_lm``    — corpus-trained byte-unigram log-prob table
+  (the training counterpart of functions/perplexity.py's scorer).
+
+Hash portability: decisions compare a fixed-width md5-hex prefix
+against a threshold string, so the DuckDB twin is bit-identical (the
+same trick functions/text.py uses for fingerprints). Rate granularity
+is 1/16^6 ≈ 6e-8 of the keyspace per hex step.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PREFIX_LEN = 6  # hex chars compared → 16^6 buckets
+
+
+def _hash_prefix_expr(key: Column, seed: int) -> Column:
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(f":{seed}"))), 1, _PREFIX_LEN)
+
+
+def _hash_prefix_sql(key: str, seed: int) -> str:
+    return f"substr(md5(cast({key} as varchar) || ':{seed}'), 1, {_PREFIX_LEN})"
+
+
+def _threshold_hex(rate: float) -> str:
+    """Largest prefix strictly below this marks 'kept': rate→hex bound.
+
+    rate≥1 returns a string above every hex prefix ('g' > 'f'): a plain
+    format() would yield 7 chars and compare LOWER than most 6-char
+    prefixes lexicographically.
+    """
+    n = int(round(rate * 16 ** _PREFIX_LEN))
+    if n >= 16 ** _PREFIX_LEN:
+        return "g" * _PREFIX_LEN
+    return format(n, f"0{_PREFIX_LEN}x")
+
+
+def sample_by_hash(df: DataFrame, key_col: str, rate: float,
+                   seed: int = 42) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows by key hash."""
+    keep = _hash_prefix_expr(F.col(key_col), seed) < F.lit(_threshold_hex(rate))
+    return df.filter(keep)
+
+
+def sample_by_hash_sql(table_sql: str, key_col: str, rate: float,
+                       seed: int = 42) -> str:
+    return (
+        f"select * from {table_sql} "
+        f"where {_hash_prefix_sql(key_col, seed)} < '{_threshold_hex(rate)}'"
+    )
+
+
+def split_by_hash(df: DataFrame, key_col: str,
+                  weights: dict[str, float], seed: int = 42) -> DataFrame:
+    """Assign each row to exactly one named split by key hash.
+
+    ``weights`` maps split name → fraction (must sum to ~1). Row keys
+    hash to a point in [0, 1); cumulative weight boundaries carve the
+    splits — disjoint, exhaustive, stable across runs and engines.
+    """
+    assert math.isclose(sum(weights.values()), 1.0, abs_tol=1e-9), "weights must sum to 1"
+    h = _hash_prefix_expr(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = F.lit(_threshold_hex(acc))
+        expr = F.when(h < bound, F.lit(name)) if expr is None else expr.when(h < bound, F.lit(name))
+    expr = (expr.otherwise(F.lit(names[-1])) if expr is not None
+            else F.lit(names[-1]))
+    return df.withColumn("split", expr)
+
+
+def split_by_hash_sql(table_sql: str, key_col: str,
+                      weights: dict[str, float], seed: int = 42) -> str:
+    h = _hash_prefix_sql(key_col, seed)
+    names = list(weights)
+    whens, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name]
+        whens.append(f"when {h} < '{_threshold_hex(acc)}' then '{name}'")
+    case = f"(case {' '.join(whens)} else '{names[-1]}' end)"
+    return f"select *, {case} as split from {table_sql}"
+
+
+def cap_per_key(df: DataFrame, key_col: str, n: int,
+                order_col: str) -> DataFrame:
+    """At most ``n`` rows per key, keeping the first by ``order_col``
+    (host caps: bound any single domain's contribution to the corpus).
+
+    One shuffle on the key; the per-key sort is the cost — for a
+    pathologically hot key, pre-filter with ``sample_by_hash`` scoped to
+    that key before the exact cap (the window must see all survivors).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
+def cap_per_key_sql(table_sql: str, key_col: str, n: int, order_col: str) -> str:
+    return (
+        f"select * exclude (_rk) from (select *, row_number() over "
+        f"(partition by {key_col} order by {order_col} asc) as _rk "
+        f"from {table_sql}) where _rk <= {n}"
+    )
+
+
+def train_char_lm(df: DataFrame, text_col: str,
+                  oov_count: int = 1) -> DataFrame:
+    """Byte-unigram LM training: (code, logprob) from corpus counts.
+
+    The training counterpart of functions/perplexity.py's scorer:
+    explode characters → ONE partial-aggregated groupBy over at most 256
+    keys (the shuffle moves ≤256 rows per task) → add-one smoothing →
+    log-probability. Non-ASCII folds into code 63 ('?'), matching the
+    scorer's latin-1/'?' OOV bucket.
+    """
+    ch = F.explode(F.split(F.col(text_col), "")).alias("ch")
+    codes = df.select(ch).filter(F.col("ch") != "").select(
+        F.when(F.ascii("ch") < 256, F.ascii("ch")).otherwise(F.lit(63)).alias("code")
+    )
+    counts = codes.groupBy("code").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_vocab")
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "code",
+        F.round(
+            F.log((F.col("cnt") + oov_count)
+                  / (F.col("_total") + oov_count * F.col("_vocab"))),
+            6,
+        ).alias("logprob"),
+    )
+
+
+def train_char_lm_sql(table_sql: str, text_col: str, oov_count: int = 1) -> str:
+    return (
+        f"with codes as (select case when ascii(ch) < 256 then ascii(ch) "
+        f"else 63 end as code from (select unnest(string_split({text_col}, '')) "
+        f"as ch from {table_sql}) where ch != ''), "
+        f"counts as (select code, count(*) as cnt from codes group by code), "
+        f"tot as (select sum(cnt) as t, count(*) as v from counts) "
+        f"select code, round(ln((cnt + {oov_count}) * 1.0 / (t + {oov_count} * v)), 6) "
+        f"as logprob from counts, tot"
+    )

@@ -1,0 +1,71 @@
+"""Deterministic sampling/splitting/capping semantics (operators/sampling.py)."""
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from social_media_pii_scrubber_spark.operators import sampling as SA
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_sample_is_layout_independent(spark):
+    """The kept set must not change with partitioning (unlike df.sample)."""
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = {r.doc_id for r in SA.sample_by_hash(d, "doc_id", 0.3).collect()}
+    b = {r.doc_id for r in
+         SA.sample_by_hash(d.repartition(17), "doc_id", 0.3).collect()}
+    assert a == b
+    assert abs(len(a) / 500 - 0.3) < 0.08  # rate lands near target
+
+
+def test_sample_seed_changes_set(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    a = {r.doc_id for r in SA.sample_by_hash(d, "doc_id", 0.3, seed=1).collect()}
+    b = {r.doc_id for r in SA.sample_by_hash(d, "doc_id", 0.3, seed=2).collect()}
+    assert a != b
+
+
+def test_sample_rate_one_keeps_all(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    assert SA.sample_by_hash(d, "doc_id", 1.0).count() == 500
+
+
+def test_split_disjoint_exhaustive_stable(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = SA.split_by_hash(d, "doc_id", w).collect()
+    assert len(out) == 500  # exhaustive, one row each
+    by = {}
+    for r in out:
+        by.setdefault(r.split, set()).add(r.doc_id)
+    assert set(by) <= set(w)
+    assert sum(len(v) for v in by.values()) == 500
+    assert len(by["train"]) > len(by["val"])
+    # stability: same assignment under different layout
+    out2 = {r.doc_id: r.split for r in
+            SA.split_by_hash(d.repartition(13), "doc_id", w).collect()}
+    assert all(out2[r.doc_id] == r.split for r in out)
+
+
+def test_cap_per_key(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"] * 5 + ["b"] * 2, "o": [5, 4, 3, 2, 1, 9, 8]})
+    )
+    got = SA.cap_per_key(df, "k", 3, "o").collect()
+    per = {}
+    for r in got:
+        per.setdefault(r.k, []).append(r.o)
+    assert sorted(per["a"]) == [1, 2, 3]  # keeps the FIRST by order
+    assert sorted(per["b"]) == [8, 9]
+
+
+def test_train_char_lm_is_a_distribution(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = SA.train_char_lm(d, "text").collect()
+    assert 0 < len(rows) <= 256
+    assert all(r.logprob < 0 for r in rows)
+    # smoothed probs of SEEN chars sum to < 1 (mass reserved for unseen)
+    total = sum(math.exp(r.logprob) for r in rows)
+    assert 0.9 < total <= 1.0
