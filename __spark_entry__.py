@@ -28,6 +28,7 @@ from social_media_pii_scrubber_spark.operators import dedup as DD
 from social_media_pii_scrubber_spark.operators import joins as J
 from social_media_pii_scrubber_spark.operators import pivots as P
 from social_media_pii_scrubber_spark.operators import sampling as SA
+from social_media_pii_scrubber_spark.operators import tfidf as TI
 from social_media_pii_scrubber_spark.operators import similarity as SIM
 from social_media_pii_scrubber_spark.operators import windows as W
 from social_media_pii_scrubber_spark.operators.media import scrub_media
@@ -417,6 +418,34 @@ def _emb_with_dups(spark, sf):
 
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
+# tf-idf gate profile: a 60-doc slice + planted exact dups (cosine 1.0
+# targets) with a high threshold keeping the pair output sparse
+_TFIDF_SRC_SQL = (
+    "(select doc_id, text from documents where doc_id < 60 "
+    "union all select doc_id + 100000 as doc_id, text from documents "
+    "where doc_id < 10)"
+)
+
+
+def _tfidf_src(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") < 60)
+    dups = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return base.unionByName(dups)
+
+
+def q_tfidf(spark, sf):
+    return TI.tf_idf(_tfidf_src(spark, sf), "text", "doc_id")
+
+
+def q_tfidf_similar_pairs(spark, sf):
+    return TI.tfidf_similar_pairs(
+        _tfidf_src(spark, sf), "text", "doc_id",
+        threshold=0.85, max_df_fraction=1.0,
+    )
+
 
 def q_sample_by_hash(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "lang")
@@ -757,6 +786,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "tfidf": q_tfidf,
+        "tfidf_similar_pairs": q_tfidf_similar_pairs,
         "sample_by_hash": q_sample_by_hash,
         "split_by_hash": q_split_by_hash,
         "cap_per_key": q_cap_per_key,
@@ -999,6 +1030,11 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "tfidf": TI.tf_idf_sql(_TFIDF_SRC_SQL, "text", "doc_id"),
+        "tfidf_similar_pairs": TI.tfidf_similar_pairs_sql(
+            _TFIDF_SRC_SQL, "text", "doc_id",
+            threshold=0.85, max_df_fraction=1.0,
+        ),
         "sample_by_hash": SA.sample_by_hash_sql(
             "(select doc_id, lang from documents)", "doc_id", rate=0.25
         ),
