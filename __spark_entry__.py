@@ -28,6 +28,7 @@ from social_media_pii_scrubber_spark.operators import dedup as DD
 from social_media_pii_scrubber_spark.operators import joins as J
 from social_media_pii_scrubber_spark.operators import pivots as P
 from social_media_pii_scrubber_spark.operators import sampling as SA
+from social_media_pii_scrubber_spark.operators import packing as PK
 from social_media_pii_scrubber_spark.operators import tfidf as TI
 from social_media_pii_scrubber_spark.operators import similarity as SIM
 from social_media_pii_scrubber_spark.operators import windows as W
@@ -447,6 +448,18 @@ def q_tfidf_similar_pairs(spark, sf):
     )
 
 
+def q_chunk_text(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return PK.chunk_text(d, "text", "doc_id", max_tokens=32, overlap=8)
+
+
+def q_pack_sequences(spark, sf):
+    d = _t(spark, sf, "documents")
+    from social_media_pii_scrubber_spark.functions.text import ws_token_count_expr
+    sized = d.select("doc_id", ws_token_count_expr(F.col("text")).alias("n_tok"))
+    return PK.pack_sequences(sized, "doc_id", "n_tok", budget=512, n_buckets=16)
+
+
 def q_sample_by_hash(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "lang")
     return SA.sample_by_hash(d, "doc_id", rate=0.25)
@@ -786,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "chunk_text": q_chunk_text,
+        "pack_sequences": q_pack_sequences,
         "tfidf": q_tfidf,
         "tfidf_similar_pairs": q_tfidf_similar_pairs,
         "sample_by_hash": q_sample_by_hash,
@@ -1030,6 +1045,14 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "chunk_text": PK.chunk_text_sql(
+            "(select doc_id, text from documents)", "text", "doc_id",
+            max_tokens=32, overlap=8,
+        ),
+        "pack_sequences": PK.pack_sequences_sql(
+            f"(select doc_id, {T.ws_token_count_sql('text')} as n_tok from documents)",
+            "doc_id", "n_tok", budget=512, n_buckets=16,
+        ),
         "tfidf": TI.tf_idf_sql(_TFIDF_SRC_SQL, "text", "doc_id"),
         "tfidf_similar_pairs": TI.tfidf_similar_pairs_sql(
             _TFIDF_SRC_SQL, "text", "doc_id",
