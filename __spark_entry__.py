@@ -20,6 +20,7 @@ from social_media_pii_scrubber_spark.functions import quality as Q
 from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
 from social_media_pii_scrubber_spark.functions import timeparse as TP
+from social_media_pii_scrubber_spark.functions import toxicity as TX
 from social_media_pii_scrubber_spark.functions import oracle_fixtures as OF
 from social_media_pii_scrubber_spark.functions.perplexity import perplexity_pandas_udf
 from social_media_pii_scrubber_spark.operators import dates as D
@@ -300,6 +301,22 @@ def q_quality_heuristics(spark, sf):
         Q.distinct_ratio_expr(t).alias("distinct_ratio"),
         Q.stopword_fraction_expr(t).alias("stopword_fraction"),
         Q.keep_expr(t).alias("keep"),
+    )
+
+
+def q_toxicity(spark, sf):
+    """Toxicity score + keep + scrub; lexicon terms planted on doc_id
+    residues (the synthetic corpus contains none organically)."""
+    d = _t(spark, sf, "documents")
+    t = F.when(
+        F.col("doc_id") % 9 == 0,
+        F.concat(F.col("text"), F.lit(" you stupid idiot full of hate")),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.toxicity_score_expr(t).alias("tox_score"),
+        TX.toxicity_keep_expr(t).alias("tox_keep"),
+        TX.toxicity_scrub_expr(t).alias("tox_scrubbed"),
     )
 
 
@@ -777,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_bank": q_scrub_bank,
         "quality_heuristics": q_quality_heuristics,
         "quality_repetition": q_quality_repetition,
+        "toxicity": q_toxicity,
         "langid": q_langid,
         "flagship_pipeline": q_flagship_pipeline,
         "tok_counts": q_tok_counts,
@@ -953,6 +971,16 @@ def oracle_sql() -> dict[str, str]:
             f"{Q.stopword_fraction_sql('text')} as stopword_fraction, "
             f"{Q.keep_sql('text')} as keep "
             "from documents"
+        ),
+        "toxicity": (
+            "with src as (select doc_id, case when doc_id % 9 = 0 "
+            "then text || ' you stupid idiot full of hate' else text end as t "
+            "from documents) "
+            "select doc_id, "
+            f"{TX.toxicity_score_sql('t')} as tox_score, "
+            f"{TX.toxicity_keep_sql('t')} as tox_keep, "
+            f"{TX.toxicity_scrub_sql('t')} as tox_scrubbed "
+            "from src"
         ),
         "quality_repetition": (
             "with lined as (select doc_id, "

@@ -18,6 +18,7 @@ from social_media_pii_scrubber_spark.functions import langid as L
 from social_media_pii_scrubber_spark.functions import quality as Q
 from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
+from social_media_pii_scrubber_spark.functions import toxicity as TX
 
 FRAGMENTS = [
     "user_1@a-b.co", "@@handle", "a@b", "x@y.z.museum", "+1 (212) 555-0199",
@@ -30,6 +31,7 @@ FRAGMENTS = [
     "the der le el und pas que", "is ist est",
     "line1\nline1\nline2", "- bullet\n* b2\n1. three\n12.no", "dots...\nmore... ",
     "...", "\n\n", "rep rep rep rep rep", "a b a b a b", "one\n", "x\ny\nx\ny",
+    "you STUPID idiot", "hate Hate HATE", "Stupidity is not stupid", "kill killer",
 ]
 
 
@@ -61,6 +63,8 @@ def test_all_twins_agree(spark, corpora):
         Q.ellipsis_line_fraction_expr(F.col("t")).alias("elf"),
         Q.bullet_line_fraction_expr(F.col("t")).alias("blf"),
         Q.repetition_keep_expr(F.col("t")).alias("rkeep"),
+        TX.toxicity_score_expr(F.col("t")).alias("tox"),
+        TX.toxicity_scrub_expr(F.col("t")).alias("toxs"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -75,7 +79,9 @@ def test_all_twins_agree(spark, corpora):
         f"{Q.top_bigram_fraction_sql('t')} as tbf, "
         f"{Q.ellipsis_line_fraction_sql('t')} as elf, "
         f"{Q.bullet_line_fraction_sql('t')} as blf, "
-        f"{Q.repetition_keep_sql('t')} as rkeep from tt"
+        f"{Q.repetition_keep_sql('t')} as rkeep, "
+        f"{TX.toxicity_score_sql('t')} as tox, "
+        f"{TX.toxicity_scrub_sql('t')} as toxs from tt"
     ).df()
 
     for col in sp.columns:
