@@ -348,6 +348,13 @@ def q_flagship_pipeline(spark, sf):
     return filter_scrub_pipeline(pages, CFG).df
 
 
+def q_flagship_with_toxicity(spark, sf):
+    """Column-only flagship with the toxicity stage enabled."""
+    _pin_session(spark)
+    pages = webpages_from_documents(spark, sf)
+    return filter_scrub_pipeline(pages, CFG, use_toxicity=True).df
+
+
 def q_tok_counts(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -797,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity": q_toxicity,
         "langid": q_langid,
         "flagship_pipeline": q_flagship_pipeline,
+        "flagship_with_toxicity": q_flagship_with_toxicity,
         "tok_counts": q_tok_counts,
         "fingerprint": q_fingerprint,
         "a3_rollup": q_a3_rollup,
@@ -998,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
             f"select doc_id, {L.langid_sql('text')} as pred_lang from documents"
         ),
         "flagship_pipeline": pipeline_oracle_sql(pages_cte, CFG),
+        "flagship_with_toxicity": pipeline_oracle_sql(pages_cte, CFG, use_toxicity=True),
         "tok_counts": (
             "select doc_id, "
             f"{T.ws_token_count_sql('text')} as ws_tokens, "

@@ -61,6 +61,7 @@ def filter_scrub_pipeline(
     cfg: ScrubConfig | None = None,
     use_model_udfs: bool = False,
     use_ner: bool = False,
+    use_toxicity: bool = False,
     with_observe: bool = False,
 ) -> PipelineResult:
     """The flagship filter+scrub plan over the web-page table.
@@ -90,6 +91,15 @@ def filter_scrub_pipeline(
     )
     df = df.withColumn("keep", heuristic_keep)
     df = df.withColumn("scrubbed_text", scrub_bank_expr(F.col("text")))
+
+    if use_toxicity:
+        # toxicity stage (opt-in): score column, keep conjunct, and
+        # {{TOXIC}} scrub appended to the native regex chain — stays in
+        # the same codegen span as the PII bank
+        from ..functions import toxicity as TX
+        df = df.withColumn("tox_score", TX.toxicity_score_expr(F.col("text")))
+        df = df.withColumn("keep", F.col("keep") & (F.col("tox_score") <= TX.MAX_TOXICITY))
+        df = df.withColumn("scrubbed_text", TX.toxicity_scrub_expr(F.col("scrubbed_text")))
 
     if use_model_udfs:
         # both UDFs in one withColumns → Spark fuses them into a single
@@ -124,18 +134,28 @@ def filter_scrub_pipeline(
         "n_chars", "n_words", "mean_word_len", "symbol_ratio",
         "distinct_ratio", "stopword_fraction",
         *(["perplexity"] if use_model_udfs else []),
+        *(["tox_score"] if use_toxicity else []),
         "keep", "scrubbed_text",
     )
     return PipelineResult(df=out, observation=obs)
 
 
-def pipeline_oracle_sql(pages_cte: str, cfg: ScrubConfig | None = None) -> str:
+def pipeline_oracle_sql(pages_cte: str, cfg: ScrubConfig | None = None,
+                        use_toxicity: bool = False) -> str:
     """DuckDB twin of the column-only pipeline (use_model_udfs=False)."""
+    from ..functions import toxicity as TX
     from ..functions.langid import langid_sql
     from ..functions.scrub import scrub_bank_sql
     from ..operators.dates import in_date_range_sql
 
     cfg = cfg or ScrubConfig()
+    keep = Q.keep_sql("text")
+    scrub = scrub_bank_sql("text")
+    tox_cols = ""
+    if use_toxicity:
+        keep = f"({keep} and {TX.toxicity_keep_sql('text')})"
+        scrub = TX.toxicity_scrub_sql(f"({scrub})")
+        tox_cols = f" {TX.toxicity_score_sql('text')} as tox_score,"
     return (
         f"with pages as ({pages_cte}) "
         f"select url, warc_ts, lang,"
@@ -146,8 +166,9 @@ def pipeline_oracle_sql(pages_cte: str, cfg: ScrubConfig | None = None) -> str:
         f" {Q.symbol_ratio_sql('text')} as symbol_ratio,"
         f" {Q.distinct_ratio_sql('text')} as distinct_ratio,"
         f" {Q.stopword_fraction_sql('text')} as stopword_fraction,"
-        f" {Q.keep_sql('text')} as keep,"
-        f" {scrub_bank_sql('text')} as scrubbed_text"
+        f"{tox_cols}"
+        f" {keep} as keep,"
+        f" {scrub} as scrubbed_text"
         f" from pages"
         f" where {in_date_range_sql('warc_ts', cfg.first_date, cfg.last_date)}"
     )
