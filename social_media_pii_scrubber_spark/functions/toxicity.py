@@ -40,31 +40,28 @@ MAX_TOXICITY = 0.05  # keep threshold: weighted hits per word
 
 
 def toxicity_score_expr(text: Column) -> Column:
-    """Weighted lexicon hits per word, single pass over the token array."""
-    w = words_expr(text)
+    """Weighted word-boundary lexicon hits per word.
 
-    def term_weight(x):
-        expr = F.lit(0.0)
-        for term, wt in TOXIC_LEXICON.items():
-            expr = F.when(x == term, F.lit(wt)).otherwise(expr)
-        return expr
-
-    total = F.aggregate(
-        F.transform(w, term_weight), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return F.round(total / F.nullif(F.size(w), F.lit(0)), 6)
+    Per-term ``regexp_count`` instead of a token-array HOF: higher-order
+    functions are CodegenFallback and would drag the WHOLE flagship
+    projection out of whole-stage codegen; regexp expressions stay in.
+    Boundary-regex matching also aligns the score with exactly what
+    ``toxicity_scrub_expr`` replaces (punctuation-adjacent hits count).
+    """
+    total = F.lit(0.0)
+    low = F.lower(text)
+    for term, wt in TOXIC_LEXICON.items():
+        total = total + F.lit(wt) * F.regexp_count(low, F.lit(rf"\b{term}\b"))
+    n = F.size(words_expr(text))
+    return F.round(total / F.nullif(n, F.lit(0)), 6)
 
 
 def toxicity_score_sql(text: str) -> str:
-    w = words_sql(text)
-    whens = " ".join(
-        f"when x = '{t}' then {wt}" for t, wt in TOXIC_LEXICON.items()
+    terms = " + ".join(
+        f"{wt} * len(regexp_extract_all(lower({text}), '\\b{t}\\b'))"
+        for t, wt in TOXIC_LEXICON.items()
     )
-    case = f"(case {whens} else 0.0 end)"
-    return (
-        f"round(list_sum(list_transform({w}, x -> {case}))"
-        f" / nullif(len({w}), 0), 6)"
-    )
+    return f"round(({terms}) / nullif(len({words_sql(text)}), 0), 6)"
 
 
 def toxicity_keep_expr(text: Column, threshold: float = MAX_TOXICITY) -> Column:
@@ -89,13 +86,19 @@ def toxicity_scrub_sql(text: str) -> str:
 
 def toxicity_score_python(text: str | None) -> float | None:
     """Scalar reference (pytest parity / fixture generation)."""
+    import re
+
     if text is None:
         return None
-    # `or [""]`: regexp-split of an all-whitespace string yields [""]
+    low = text.lower()
+    total = sum(
+        wt * len(re.findall(rf"\b{t}\b", low))
+        for t, wt in TOXIC_LEXICON.items()
+    )
+    # `or 1`: regexp-split of an all-whitespace string yields [""]
     # (size 1) in both engines — mirror that so parity holds on blanks
-    words = text.strip().lower().split() or [""]
-    total = sum(TOXIC_LEXICON.get(x, 0.0) for x in words)
-    return round(total / len(words), 6)
+    n = len(text.strip().split()) or 1
+    return round(total / n, 6)
 
 
 def toxicity_score_pandas_udf():

@@ -27,3 +27,24 @@ def load_iceberg_or_parquet(spark: SparkSession, ref: str) -> DataFrame:
         return spark.read.format("iceberg").load(ref)
     except Exception:
         return spark.read.parquet(ref)
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   n_buckets: int = 32, sort: bool = True) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing is the pre-shuffle: both sides of a repeated equi-join on
+    ``key`` read already-hash-partitioned files, so the join plans with
+    NO Exchange (pinned by tests/test_plan_shapes.py). At 100 TB this is
+    how the corpus joins its dedup keep-list, audit table, and per-host
+    stats every run without re-shuffling petabytes; the Iceberg analogue
+    is a ``bucket(N, key)`` partition transform.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table_name)
+
+
+def load_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.table(table_name)

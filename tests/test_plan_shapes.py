@@ -113,6 +113,46 @@ def test_exact_dedup_partial_aggregation(spark, sf_dir):
     assert exchange_pos > 0
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the same key must join WITHOUT any
+    Exchange — the co-located-join contract write_bucketed exists for."""
+    from social_media_pii_scrubber_spark.sources.tables import (
+        load_bucketed, write_bucketed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_bucketed(docs.select("doc_id", "text"), "t_bkt_a", "doc_id", 8)
+    write_bucketed(docs.select("doc_id", "lang"), "t_bkt_b", "doc_id", 8)
+    try:
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = load_bucketed(spark, "t_bkt_a").join(
+                load_bucketed(spark, "t_bkt_b"), on="doc_id"
+            )
+            p = plan_of(j)
+            assert "Exchange" not in p, p[:2000]
+            assert "SortMergeJoin" in p
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("drop table if exists t_bkt_a")
+        spark.sql("drop table if exists t_bkt_b")
+
+
+def test_toxic_flagship_scrub_once_no_python(spark, sf_dir):
+    """The {{TOXIC}} scrub must be evaluated once with zero Python in
+    the plan. (The score's transform+aggregate HOF is interpreted —
+    higher-order functions never codegen — so unlike the PII-only
+    flagship this projection is legitimately outside WholeStageCodegen;
+    the model-UDF scoring path exists for when that matters.)"""
+    pages = webpages_from_documents(spark, sf_dir)
+    df = filter_scrub_pipeline(pages, CFG, use_toxicity=True).df
+    p = plan_of(df)
+    assert p.count("{{TOXIC}}") == 1
+    assert "EvalPython" not in p
+
+
 def test_column_only_pipeline_no_python(spark, sf_dir):
     """use_model_udfs=False must have ZERO Python in the plan."""
     pages = webpages_from_documents(spark, sf_dir)
