@@ -52,6 +52,8 @@ def parse_args(argv=None):
     p.add_argument("--no-model-udfs", dest="use_model_udfs", action="store_false")
     p.add_argument("--ner", action="store_true",
                    help="apply the NER scrub stage (pandas UDF)")
+    p.add_argument("--toxicity", action="store_true",
+                   help="apply the toxicity score/keep/scrub stage")
     return p.parse_args(argv)
 
 
@@ -70,7 +72,7 @@ def main(argv=None) -> None:
 
     result = filter_scrub_pipeline(
         pages, cfg, use_model_udfs=args.use_model_udfs, use_ner=args.ner,
-        with_observe=True,
+        use_toxicity=args.toxicity, with_observe=True,
     )
     stats = write_with_checkpoints(
         result.df, args.output, n_buckets=args.buckets
