@@ -25,6 +25,7 @@ from social_media_pii_scrubber_spark.functions import oracle_fixtures as OF
 from social_media_pii_scrubber_spark.functions.perplexity import perplexity_pandas_udf
 from social_media_pii_scrubber_spark.operators import dates as D
 from social_media_pii_scrubber_spark.operators import components as CC
+from social_media_pii_scrubber_spark.operators import contamination as CT
 from social_media_pii_scrubber_spark.operators import dedup as DD
 from social_media_pii_scrubber_spark.operators import joins as J
 from social_media_pii_scrubber_spark.operators import pivots as P
@@ -472,6 +473,14 @@ def q_tfidf_similar_pairs(spark, sf):
     )
 
 
+def q_contamination(spark, sf):
+    """Eval set = the first 5 documents; those (and organic shingle
+    overlaps at min_shared) must be flagged with their overlap counts."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    eval_set = d.filter(F.col("doc_id") < 5)
+    return CT.contaminated_docs(d, eval_set, "text", "doc_id", min_shared=3)
+
+
 def q_chunk_text(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id", "text")
     return PK.chunk_text(d, "text", "doc_id", max_tokens=32, overlap=8)
@@ -825,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "contamination": q_contamination,
         "chunk_text": q_chunk_text,
         "pack_sequences": q_pack_sequences,
         "tfidf": q_tfidf,
@@ -1082,6 +1092,11 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "contamination": CT.contaminated_docs_sql(
+            "(select doc_id, text from documents)",
+            "(select doc_id, text from documents where doc_id < 5)",
+            "text", "doc_id", min_shared=3,
+        ),
         "chunk_text": PK.chunk_text_sql(
             "(select doc_id, text from documents)", "text", "doc_id",
             max_tokens=32, overlap=8,
