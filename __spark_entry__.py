@@ -498,6 +498,16 @@ def q_sample_by_hash(spark, sf):
     return SA.sample_by_hash(d, "doc_id", rate=0.25)
 
 
+_STRATA_RATES = {"en": 0.5, "de": 0.25}
+
+
+def q_stratified_sample(spark, sf):
+    d = _t(spark, sf, "documents").select("doc_id", "lang")
+    return SA.stratified_sample_by_hash(
+        d, "doc_id", "lang", _STRATA_RATES, default_rate=0.1
+    )
+
+
 def q_split_by_hash(spark, sf):
     d = _t(spark, sf, "documents").select("doc_id")
     return SA.split_by_hash(d, "doc_id", _SPLIT_WEIGHTS)
@@ -840,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf": q_tfidf,
         "tfidf_similar_pairs": q_tfidf_similar_pairs,
         "sample_by_hash": q_sample_by_hash,
+        "stratified_sample": q_stratified_sample,
         "split_by_hash": q_split_by_hash,
         "cap_per_key": q_cap_per_key,
         "train_char_lm": q_train_char_lm,
@@ -1112,6 +1123,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sample_by_hash": SA.sample_by_hash_sql(
             "(select doc_id, lang from documents)", "doc_id", rate=0.25
+        ),
+        "stratified_sample": SA.stratified_sample_by_hash_sql(
+            "(select doc_id, lang from documents)", "doc_id", "lang",
+            _STRATA_RATES, default_rate=0.1,
         ),
         "split_by_hash": SA.split_by_hash_sql(
             "(select doc_id from documents)", "doc_id", _SPLIT_WEIGHTS

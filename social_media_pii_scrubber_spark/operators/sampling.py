@@ -99,6 +99,35 @@ def split_by_hash_sql(table_sql: str, key_col: str,
     return f"select *, {case} as split from {table_sql}"
 
 
+def stratified_sample_by_hash(df: DataFrame, key_col: str, strata_col: str,
+                              rates: dict[str, float],
+                              default_rate: float = 0.0,
+                              seed: int = 42) -> DataFrame:
+    """Per-stratum deterministic sampling (language/quality-balanced
+    corpora): each stratum gets its own keep rate; strata not listed get
+    ``default_rate``. Same layout-independent hash decision as
+    ``sample_by_hash`` — one scan, no shuffle."""
+    h = _hash_prefix_expr(F.col(key_col), seed)
+    bound = F.lit(_threshold_hex(default_rate))
+    for name, rate in rates.items():
+        bound = F.when(F.col(strata_col) == name,
+                       F.lit(_threshold_hex(rate))).otherwise(bound)
+    return df.filter(h < bound)
+
+
+def stratified_sample_by_hash_sql(table_sql: str, key_col: str,
+                                  strata_col: str, rates: dict[str, float],
+                                  default_rate: float = 0.0,
+                                  seed: int = 42) -> str:
+    h = _hash_prefix_sql(key_col, seed)
+    whens = " ".join(
+        f"when {strata_col} = '{n}' then '{_threshold_hex(r)}'"
+        for n, r in rates.items()
+    )
+    case = f"(case {whens} else '{_threshold_hex(default_rate)}' end)"
+    return f"select * from {table_sql} where {h} < {case}"
+
+
 def cap_per_key(df: DataFrame, key_col: str, n: int,
                 order_col: str) -> DataFrame:
     """At most ``n`` rows per key, keeping the first by ``order_col``

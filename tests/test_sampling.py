@@ -49,6 +49,28 @@ def test_split_disjoint_exhaustive_stable(spark):
     assert all(out2[r.doc_id] == r.split for r in out)
 
 
+def test_stratified_rates_per_group(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    out = SA.stratified_sample_by_hash(
+        d, "doc_id", "lang", {"en": 0.8, "de": 0.2}, default_rate=0.0
+    ).collect()
+    by = {}
+    for r in out:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    totals = {r.lang: c for r, c in
+              [(x, x["count"]) for x in
+               d.groupBy("lang").count().collect()]}
+    assert abs(by.get("en", 0) / totals["en"] - 0.8) < 0.12
+    assert abs(by.get("de", 0) / totals["de"] - 0.2) < 0.12
+    assert set(by) <= {"en", "de"}  # default 0 drops all other strata
+    # kept set is a subset relation across rates: en@0.2 ⊂ en@0.8
+    small = {r.doc_id for r in SA.stratified_sample_by_hash(
+        d, "doc_id", "lang", {"en": 0.2}).collect()}
+    big = {r.doc_id for r in SA.stratified_sample_by_hash(
+        d, "doc_id", "lang", {"en": 0.8}).collect()}
+    assert small <= big
+
+
 def test_cap_per_key(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"k": ["a"] * 5 + ["b"] * 2, "o": [5, 4, 3, 2, 1, 9, 8]})
