@@ -21,6 +21,7 @@ from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
 from social_media_pii_scrubber_spark.functions import timeparse as TP
 from social_media_pii_scrubber_spark.functions import toxicity as TX
+from social_media_pii_scrubber_spark.functions import urls as U
 from social_media_pii_scrubber_spark.functions import oracle_fixtures as OF
 from social_media_pii_scrubber_spark.functions.perplexity import perplexity_pandas_udf
 from social_media_pii_scrubber_spark.operators import dates as D
@@ -473,6 +474,28 @@ def q_tfidf_similar_pairs(spark, sf):
     )
 
 
+_URL_VARIANT = (
+    "case when doc_id % 4 = 0 then '#Section-2' "
+    "when doc_id % 4 = 1 then '?utm_source=feed&utm_campaign=x&id=7' "
+    "when doc_id % 4 = 2 then '?id=7&fbclid=abc123' else '' end"
+)
+
+
+def q_url_canonicalize(spark, sf):
+    """Canonicalization over urls with planted fragments/tracking params
+    and uppercased hosts — url-level crawl dedup's first stage."""
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://Host"), (F.col("doc_id") % 37).cast("string"),
+        F.lit(".Example/Doc/"), F.col("doc_id").cast("string"),
+        F.expr(_URL_VARIANT),
+    )
+    return d.select(
+        "doc_id", raw.alias("raw_url"),
+        U.url_canonicalize_expr(raw).alias("canon_url"),
+    )
+
+
 def q_contamination(spark, sf):
     """Eval set = the first 5 documents; those (and organic shingle
     overlaps at min_shared) must be flagged with their overlap counts."""
@@ -844,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "url_canonicalize": q_url_canonicalize,
         "contamination": q_contamination,
         "chunk_text": q_chunk_text,
         "pack_sequences": q_pack_sequences,
@@ -1103,6 +1127,13 @@ def oracle_sql() -> dict[str, str]:
             "embedding", "vec_id", threshold=0.95,
         ),
         "ann_lsh_topk": SIM.lsh_topk_sql("embeddings", "vec_id < 3", "vec_id", "embedding", k=5),
+        "url_canonicalize": (
+            "with raw as (select doc_id, 'HTTPS://Host' || cast(doc_id % 37 as varchar) "
+            "|| '.Example/Doc/' || cast(doc_id as varchar) || "
+            f"({_URL_VARIANT}) as raw_url from documents) "
+            f"select doc_id, raw_url, {U.url_canonicalize_sql('raw_url')} as canon_url "
+            "from raw"
+        ),
         "contamination": CT.contaminated_docs_sql(
             "(select doc_id, text from documents)",
             "(select doc_id, text from documents where doc_id < 5)",

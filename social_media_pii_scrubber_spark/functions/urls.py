@@ -1,0 +1,58 @@
+"""URL canonicalization for crawl dedup (url-level, before text-level).
+
+Crawls see the same page under fragment variants, tracking parameters,
+and scheme/host case differences; canonicalizing before the url-hash
+partition/dedup collapses them. Pure regexp_replace chain (whole-stage
+codegen, RE2-subset, exact DuckDB twin):
+
+1. strip the fragment (#…);
+2. lowercase the scheme://host prefix (paths stay case-sensitive);
+3. drop tracking params (utm_*, fbclid, gclid, ref);
+4. tidy leftover separators ('?&' → '?', '&&' → '&', trailing ?/&).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_TRACKING = r"(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def url_canonicalize_expr(url: Column) -> Column:
+    u = F.regexp_replace(url, r"#.*$", "")                      # 1
+    head = F.lower(F.regexp_extract(u, r"^([A-Za-z]+://[^/?]*)", 1))
+    tail = F.regexp_extract(u, r"^[A-Za-z]+://[^/?]*(.*)$", 1)
+    u = F.when(head != "", F.concat(head, tail)).otherwise(u)   # 2
+    u = F.regexp_replace(u, _TRACKING, "")                      # 3
+    u = F.regexp_replace(u, r"\?&+", "?")                       # 4
+    u = F.regexp_replace(u, r"&&+", "&")
+    u = F.regexp_replace(u, r"[?&]+$", "")
+    return u
+
+
+def url_canonicalize_sql(url: str) -> str:
+    u = f"regexp_replace({url}, '#.*$', '')"
+    head = f"lower(regexp_extract({u}, '^([A-Za-z]+://[^/?]*)', 1))"
+    tail = f"regexp_extract({u}, '^[A-Za-z]+://[^/?]*(.*)$', 1)"
+    u = f"(case when {head} != '' then {head} || {tail} else {u} end)"
+    u = f"regexp_replace({u}, '{_TRACKING}', '', 'g')"
+    u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
+    u = f"regexp_replace({u}, '&&+', '&', 'g')"
+    u = f"regexp_replace({u}, '[?&]+$', '', 'g')"
+    return u
+
+
+def url_canonicalize_python(url: str) -> str:
+    """Scalar reference for tests."""
+    import re
+
+    u = re.sub(r"#.*$", "", url)
+    m = re.match(r"^([A-Za-z]+://[^/?]*)(.*)$", u)
+    if m:
+        u = m.group(1).lower() + m.group(2)
+    u = re.sub(_TRACKING, "", u)
+    u = re.sub(r"\?&+", "?", u)
+    u = re.sub(r"&&+", "&", u)
+    u = re.sub(r"[?&]+$", "", u)
+    return u
