@@ -344,6 +344,18 @@ def q_langid(spark, sf):
     return d.select("doc_id", L.langid_expr(F.col("text")).alias("pred_lang"))
 
 
+def q_langid_margin(spark, sf):
+    """Prediction + classifier margin + confidence gate (margin >= 2)."""
+    d = _t(spark, sf, "documents")
+    margin = L.langid_margin_expr(F.col("text"))
+    return d.select(
+        "doc_id",
+        L.langid_expr(F.col("text")).alias("pred_lang"),
+        margin.alias("margin"),
+        (margin >= 2).alias("confident"),
+    )
+
+
 def q_flagship_pipeline(spark, sf):
     _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
@@ -845,6 +857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_repetition": q_quality_repetition,
         "toxicity": q_toxicity,
         "langid": q_langid,
+        "langid_margin": q_langid_margin,
         "flagship_pipeline": q_flagship_pipeline,
         "flagship_with_toxicity": q_flagship_with_toxicity,
         "tok_counts": q_tok_counts,
@@ -1049,6 +1062,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "langid": (
             f"select doc_id, {L.langid_sql('text')} as pred_lang from documents"
+        ),
+        "langid_margin": (
+            f"select doc_id, {L.langid_sql('text')} as pred_lang, "
+            f"{L.langid_margin_sql('text')} as margin, "
+            f"({L.langid_margin_sql('text')} >= 2) as confident from documents"
         ),
         "flagship_pipeline": pipeline_oracle_sql(pages_cte, CFG),
         "flagship_with_toxicity": pipeline_oracle_sql(pages_cte, CFG, use_toxicity=True),

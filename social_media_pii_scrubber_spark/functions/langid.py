@@ -74,6 +74,34 @@ def langid_sql(text: str) -> str:
     return f"(case {' '.join(parts)} else '{UNKNOWN_LANG}' end)"
 
 
+def langid_margin_expr(text: Column) -> Column:
+    """Prediction confidence: top1 − top2 marker score.
+
+    Pipelines threshold on the classifier margin before trusting a
+    language route (fastText's prob gap analogue). Second max over the
+    fixed 4-score set via the pairwise-min identity
+    ``max_{i<j} min(s_i, s_j)`` — no sort, stays a scalar expression.
+    """
+    scores = [lang_score_expr(text, lang) for lang in LANG_ORDER]
+    top1 = F.greatest(*scores)
+    pair_mins = [
+        F.least(scores[i], scores[j])
+        for i in range(len(scores)) for j in range(i + 1, len(scores))
+    ]
+    top2 = F.greatest(*pair_mins)
+    return top1 - top2
+
+
+def langid_margin_sql(text: str) -> str:
+    scores = [lang_score_sql(text, lang) for lang in LANG_ORDER]
+    top1 = f"greatest({', '.join(scores)})"
+    pair_mins = ", ".join(
+        f"least({scores[i]}, {scores[j]})"
+        for i in range(len(scores)) for j in range(i + 1, len(scores))
+    )
+    return f"({top1} - greatest({pair_mins}))"
+
+
 # ---------------------------------------------------------------------------
 # vectorized UDF path (fastText-shaped)
 # ---------------------------------------------------------------------------

@@ -63,6 +63,20 @@ class TestLangid:
         got = [r[0] for r in df.select(langid_expr(F.col("t"))).collect()]
         assert got == ["en", "de", "fr", "es", "und"]
 
+    def test_margin_is_top1_minus_top2(self, spark):
+        from social_media_pii_scrubber_spark.functions.langid import (
+            langid_margin_expr,
+        )
+
+        df = spark.createDataFrame(pd.DataFrame({"t": [
+            "the and of to is",          # en=5, others 0 → margin 5
+            "the und",                   # en=1, de=1 → margin 0 (ambiguous)
+            "the and der",               # en=2, de=1 → margin 1
+            "zzz qqq",                   # all 0 → margin 0
+        ]}))
+        got = [r[0] for r in df.select(langid_margin_expr(F.col("t"))).collect()]
+        assert got == [5, 0, 1, 0]
+
 
 class TestPerplexity:
     def test_udf_matches_python(self, spark, sf_dir):
