@@ -37,6 +37,7 @@ from social_media_pii_scrubber_spark.operators import similarity as SIM
 from social_media_pii_scrubber_spark.operators import windows as W
 from social_media_pii_scrubber_spark.operators.media import scrub_media
 from social_media_pii_scrubber_spark.plans import social as SOC
+from social_media_pii_scrubber_spark.plans.stats import corpus_stats, corpus_stats_sql
 from social_media_pii_scrubber_spark.plans.pipeline import (
     filter_scrub_pipeline, pipeline_oracle_sql,
 )
@@ -289,6 +290,51 @@ def q_scrub_bank(spark, sf):
     _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return pages.select("url", S.scrub_bank_expr(F.col("text")).alias("scrubbed_text"))
+
+
+_PII_CLASS_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+    "handles": r"@\w+",
+    "urls": r"https?://[^\s]+",
+    "geo": r"-?\d{1,3}\.\d{3,}, ?-?\d{1,3}\.\d{3,}",
+}
+
+
+def q_corpus_stats(spark, sf):
+    return corpus_stats(_t(spark, sf, "documents"), "text", "lang")
+
+
+def q_pii_coverage(spark, sf):
+    """Scrub-coverage audit: per-class counts of PII-shaped matches
+    BEFORE and AFTER the scrub bank over the planted-PII web pages.
+    The after-counts being zero IS the keep/drop-fidelity evidence,
+    verified identically by both engines."""
+    _pin_session(spark)
+    pages = webpages_from_documents(spark, sf)
+    scrubbed = S.scrub_bank_expr(F.col("text"))
+    aggs = []
+    for name, pat in _PII_CLASS_PATTERNS.items():
+        aggs.append(F.sum(F.regexp_count(F.col("text"), F.lit(pat))
+                          ).alias(f"before_{name}"))
+        aggs.append(F.sum(F.regexp_count(scrubbed, F.lit(pat))
+                          ).alias(f"after_{name}"))
+    return pages.agg(*aggs)
+
+
+def _pii_coverage_sql() -> str:
+    pages_cte = webpages_from_documents_sql("documents")
+    scrub = S.scrub_bank_sql("text")
+    cols = []
+    for name, pat in _PII_CLASS_PATTERNS.items():
+        p = pat.replace("'", "''")
+        cols.append(
+            f"sum(len(regexp_extract_all(text, '{p}'))) as before_{name}"
+        )
+        cols.append(
+            f"sum(len(regexp_extract_all({scrub}, '{p}'))) as after_{name}"
+        )
+    return f"with pages as ({pages_cte}) select {', '.join(cols)} from pages"
 
 
 def q_quality_heuristics(spark, sf):
@@ -853,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f11_ph_num": q_f11_ph_num,
         "f12_json_path": q_f12_json_path,
         "scrub_bank": q_scrub_bank,
+        "pii_coverage": q_pii_coverage,
+        "corpus_stats": q_corpus_stats,
         "quality_heuristics": q_quality_heuristics,
         "quality_repetition": q_quality_repetition,
         "toxicity": q_toxicity,
@@ -1027,6 +1075,8 @@ def oracle_sql() -> dict[str, str]:
             f"with pages as ({pages_cte}) "
             f"select url, {S.scrub_bank_sql('text')} as scrubbed_text from pages"
         ),
+        "pii_coverage": _pii_coverage_sql(),
+        "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "quality_heuristics": (
             "select doc_id, "
             f"{Q.n_chars_sql('text')} as n_chars_calc, "
