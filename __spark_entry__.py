@@ -301,6 +301,27 @@ _PII_CLASS_PATTERNS = {
 }
 
 
+def q_full_quality_gate(spark, sf):
+    """The COMPLETE keep decision a production pipeline composes: base
+    Gopher/C4 heuristics ∧ repetition family ∧ toxicity gate ∧ langid
+    confidence — one row per doc with each family's verdict plus the
+    conjunction, all pure column expressions."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    base = Q.keep_expr(t)
+    rep = Q.repetition_keep_expr(t)
+    tox = TX.toxicity_keep_expr(t)
+    conf = L.langid_margin_expr(t) >= 1
+    return d.select(
+        "doc_id",
+        base.alias("keep_base"),
+        rep.alias("keep_repetition"),
+        tox.alias("keep_toxicity"),
+        conf.alias("keep_lang_confident"),
+        (base & rep & tox & conf).alias("keep_full"),
+    )
+
+
 def q_corpus_stats(spark, sf):
     return corpus_stats(_t(spark, sf, "documents"), "text", "lang")
 
@@ -901,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_bank": q_scrub_bank,
         "pii_coverage": q_pii_coverage,
         "corpus_stats": q_corpus_stats,
+        "full_quality_gate": q_full_quality_gate,
         "quality_heuristics": q_quality_heuristics,
         "quality_repetition": q_quality_repetition,
         "toxicity": q_toxicity,
@@ -1077,6 +1099,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_coverage": _pii_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
+        "full_quality_gate": (
+            "select doc_id, "
+            f"{Q.keep_sql('text')} as keep_base, "
+            f"{Q.repetition_keep_sql('text')} as keep_repetition, "
+            f"{TX.toxicity_keep_sql('text')} as keep_toxicity, "
+            f"({L.langid_margin_sql('text')} >= 1) as keep_lang_confident, "
+            f"({Q.keep_sql('text')} and {Q.repetition_keep_sql('text')} "
+            f"and {TX.toxicity_keep_sql('text')} "
+            f"and {L.langid_margin_sql('text')} >= 1) as keep_full "
+            "from documents"
+        ),
         "quality_heuristics": (
             "select doc_id, "
             f"{Q.n_chars_sql('text')} as n_chars_calc, "
