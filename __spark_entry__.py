@@ -349,11 +349,15 @@ def _pii_coverage_sql() -> str:
     cols = []
     for name, pat in _PII_CLASS_PATTERNS.items():
         p = pat.replace("'", "''")
+        # cast: DuckDB sum(BIGINT) -> HUGEINT, Spark -> BIGINT; the
+        # driver's value hash is type-sensitive (see pivots.py).
         cols.append(
-            f"sum(len(regexp_extract_all(text, '{p}'))) as before_{name}"
+            f"cast(sum(len(regexp_extract_all(text, '{p}'))) as bigint)"
+            f" as before_{name}"
         )
         cols.append(
-            f"sum(len(regexp_extract_all({scrub}, '{p}'))) as after_{name}"
+            f"cast(sum(len(regexp_extract_all({scrub}, '{p}'))) as bigint)"
+            f" as after_{name}"
         )
     return f"with pages as ({pages_cte}) select {', '.join(cols)} from pages"
 
@@ -895,57 +899,28 @@ def q_clean_text_udf(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Ordering is deliberate: the driver gate checks the FIRST 50 keys
+    in insertion order, so the window is rotated each round to give every
+    entry a driver verdict. Round-3 window = the 24 entries the r02 gate
+    never reached (positions 51-74 last round), the two r02 hash-red
+    entries (pii_coverage/corpus_stats, now cast-fixed), new round-3
+    entries, then the most load-bearing r02-green pipelines. The rotated
+    -out tail (positions 51+) is all r02-driver-green trivia whose
+    verdicts stand on record in CORRECTNESS_r02.json."""
     return {
-        "p1_date_filter_events": q_p1_date_filter_events,
-        "p2_orders_window": q_p2_orders_window,
-        "p4_nonblank_documents": q_p4_nonblank_documents,
-        "p6_anti_join": q_p6_anti_join,
-        "j1_semi_flag": q_j1_semi_flag,
-        "j4_zip_longest": q_j4_zip_longest,
-        "a1_global_counts": q_a1_global_counts,
-        "a2_groupby_count": q_a2_groupby_count,
-        "a3_pivot_segments": q_a3_pivot_segments,
-        "a4_dynamic_pivot": q_a4_dynamic_pivot,
-        "a5_category_extract": q_a5_category_extract,
-        "a6_distinct": q_a6_distinct,
-        "w1_photo_seq": q_w1_photo_seq,
-        "w2_week_bins": q_w2_week_bins,
-        "u1_union": q_u1_union,
-        "f4_parse_when": q_f4_parse_when,
-        "f5_time_string": q_f5_time_string,
-        "f7_split_kv": q_f7_split_kv,
-        "f8_string_agg": q_f8_string_agg,
-        "f9_contains": q_f9_contains,
-        "f10_img_ext": q_f10_img_ext,
-        "f11_ph_num": q_f11_ph_num,
-        "f12_json_path": q_f12_json_path,
-        "scrub_bank": q_scrub_bank,
+        # -- fixed this round (r02 hash_match=false) --
         "pii_coverage": q_pii_coverage,
         "corpus_stats": q_corpus_stats,
-        "full_quality_gate": q_full_quality_gate,
-        "quality_heuristics": q_quality_heuristics,
-        "quality_repetition": q_quality_repetition,
-        "toxicity": q_toxicity,
-        "langid": q_langid,
-        "langid_margin": q_langid_margin,
-        "flagship_pipeline": q_flagship_pipeline,
-        "flagship_with_toxicity": q_flagship_with_toxicity,
-        "tok_counts": q_tok_counts,
-        "fingerprint": q_fingerprint,
-        "a3_rollup": q_a3_rollup,
-        "f6_date_arith": q_f6_date_arith,
-        "w3_sort_limit": q_w3_sort_limit,
-        "s2_from_json": q_s2_from_json,
-        "s3_txt_kv": q_s3_txt_kv,
-        "explode_pos": q_explode_pos,
-        "u2_interleaved": q_u2_interleaved,
-        "p8_routing": q_p8_routing,
-        "rolling_fp": q_rolling_fp,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signature": q_minhash_signature,
-        "lsh_pairs": q_lsh_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "simhash": q_simhash,
+        # -- never driver-checked (past the r02 50-entry cutoff) --
+        "clean_text_udf": q_clean_text_udf,
+        "perplexity_udf": q_perplexity_udf,
+        "media_scrub_hex": q_media_scrub_hex,
+        "media_scrub": q_media_scrub,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
+        "ann_amp_topk": q_ann_amp_topk,
+        "fb_profile_updates": q_fb_profile_updates,
+        "tt_user_videos": q_tt_user_videos,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -961,15 +936,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash": q_split_by_hash,
         "cap_per_key": q_cap_per_key,
         "train_char_lm": q_train_char_lm,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_list": q_dedup_keep_list,
-        "ann_amp_topk": q_ann_amp_topk,
-        "fb_profile_updates": q_fb_profile_updates,
-        "tt_user_videos": q_tt_user_videos,
-        "perplexity_udf": q_perplexity_udf,
-        "media_scrub": q_media_scrub,
-        "media_scrub_hex": q_media_scrub_hex,
-        "clean_text_udf": q_clean_text_udf,
+        # -- load-bearing pipelines, re-verified each round --
+        "flagship_pipeline": q_flagship_pipeline,
+        "flagship_with_toxicity": q_flagship_with_toxicity,
+        "full_quality_gate": q_full_quality_gate,
+        "scrub_bank": q_scrub_bank,
+        "quality_heuristics": q_quality_heuristics,
+        "quality_repetition": q_quality_repetition,
+        "toxicity": q_toxicity,
+        "langid": q_langid,
+        "langid_margin": q_langid_margin,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "tok_counts": q_tok_counts,
+        "fingerprint": q_fingerprint,
+        "rolling_fp": q_rolling_fp,
+        "a3_pivot_segments": q_a3_pivot_segments,
+        "a3_rollup": q_a3_rollup,
+        "a4_dynamic_pivot": q_a4_dynamic_pivot,
+        "u2_interleaved": q_u2_interleaved,
+        "p8_routing": q_p8_routing,
+        "s2_from_json": q_s2_from_json,
+        "s3_txt_kv": q_s3_txt_kv,
+        # ---- driver-window boundary (~50) ----
+        "explode_pos": q_explode_pos,
+        "w1_photo_seq": q_w1_photo_seq,
+        "p1_date_filter_events": q_p1_date_filter_events,
+        "p2_orders_window": q_p2_orders_window,
+        "p4_nonblank_documents": q_p4_nonblank_documents,
+        "p6_anti_join": q_p6_anti_join,
+        "j1_semi_flag": q_j1_semi_flag,
+        "j4_zip_longest": q_j4_zip_longest,
+        "a1_global_counts": q_a1_global_counts,
+        "a2_groupby_count": q_a2_groupby_count,
+        "a5_category_extract": q_a5_category_extract,
+        "a6_distinct": q_a6_distinct,
+        "w2_week_bins": q_w2_week_bins,
+        "w3_sort_limit": q_w3_sort_limit,
+        "u1_union": q_u1_union,
+        "f4_parse_when": q_f4_parse_when,
+        "f5_time_string": q_f5_time_string,
+        "f6_date_arith": q_f6_date_arith,
+        "f7_split_kv": q_f7_split_kv,
+        "f8_string_agg": q_f8_string_agg,
+        "f9_contains": q_f9_contains,
+        "f10_img_ext": q_f10_img_ext,
+        "f11_ph_num": q_f11_ph_num,
+        "f12_json_path": q_f12_json_path,
     }
 
 

@@ -42,8 +42,10 @@ def corpus_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
 def corpus_stats_sql(table_sql: str, text_col: str, group_col: str) -> str:
     cols = [
         "count(*) as n_docs",
-        f"sum({ws_token_count_sql(text_col)}) as total_tokens",
-        f"sum(length({text_col})) as total_chars",
+        # cast: DuckDB sum(BIGINT) returns HUGEINT; Spark returns BIGINT
+        # and the driver's value hash is type-sensitive.
+        f"cast(sum({ws_token_count_sql(text_col)}) as bigint) as total_tokens",
+        f"cast(sum(length({text_col})) as bigint) as total_chars",
     ]
     for p in PCTS:
         cols.append(

@@ -1,9 +1,13 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every __spark_entry__.queries() entry at sf0.01 and compares to
-oracle_sql() via DuckDB: row count, column names, and an
-order-insensitive value comparison (columns sorted by name, rows sorted
-by all columns, values stringified).
+oracle_sql() via DuckDB: row count, column names, an order-insensitive
+value comparison (columns sorted by name, rows sorted by all columns,
+values stringified), and — because the DRIVER's value hash is
+type-sensitive while stringification is not — a type gate: any oracle
+column that DuckDB types as HUGEINT or DECIMAL (sum() of integers does
+this) is a hard FAIL telling you to cast, and per-column pandas dtype
+kinds must agree between the two engines.
 
 Usage: python tools/check_oracle.py [query_name ...]
 """
@@ -71,19 +75,39 @@ def main():
                 print(f"     WARNING: zero rows")
             continue
         try:
-            odf = con.sql(sql).df()
+            rel = con.sql(sql)
+            otypes = {c: str(t) for c, t in zip(rel.columns, rel.types)}
+            odf = rel.df()
         except Exception as ex:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {type(ex).__name__}: {str(ex)[:400]}")
             continue
         ok = True
-        if sorted(sdf.columns) != sorted(odf.columns):
+        bad_types = {c: t for c, t in otypes.items()
+                     if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")}
+        if bad_types:
+            ok = False
+            print(f"FAIL {name}: oracle columns typed {bad_types} — the "
+                  f"driver's hash is type-sensitive; cast(... as bigint/double)")
+        elif sorted(sdf.columns) != sorted(odf.columns):
             ok = False
             print(f"FAIL {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
         elif len(sdf) != len(odf):
             ok = False
             print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
         else:
+            kind_diff = {
+                c: (sdf[c].dtype.kind, odf[c].dtype.kind)
+                for c in sdf.columns
+                if sdf[c].dtype.kind != odf[c].dtype.kind
+                # a column that is all-null on both sides may surface as
+                # object-vs-float without any driver-visible difference
+                and not (sdf[c].isna().all() and odf[c].isna().all())
+            }
+            if kind_diff:
+                ok = False
+                print(f"FAIL {name}: dtype-kind drift spark-vs-oracle: "
+                      f"{kind_diff}")
             a, b = normalize(sdf), normalize(odf)
             if a != b:
                 ok = False
