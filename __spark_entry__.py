@@ -362,6 +362,89 @@ def _pii_coverage_sql() -> str:
     return f"with pages as ({pages_cte}) select {', '.join(cols)} from pages"
 
 
+def q_ner_coverage(spark, sf):
+    """Planted-names NER audit, cross-engine value-checked.
+
+    Full names ('<First> <Last>', First from the public lexicon) are
+    planted on doc_id%5==0 and honorific-anchored names ('Dr. <Last>',
+    surname OUTSIDE any lexicon) on doc_id%5==2, both derived purely
+    from doc_id so DuckDB re-derives identical plantings. Spark counts
+    docs still containing their planted name BEFORE and AFTER the NER
+    scrub; the oracle computes the before-counts from the same planting
+    rule and pins the after-counts at ZERO — any planted name the NER
+    stand-in misses turns the driver's value hash red."""
+    from social_media_pii_scrubber_spark.functions.names import (
+        PLANT_FIRST, PLANT_LAST,
+    )
+
+    _pin_session(spark)
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    first = F.element_at(
+        F.array(*[F.lit(x) for x in PLANT_FIRST]),
+        (F.floor(i / 5) % len(PLANT_FIRST) + 1).cast("int"),
+    )
+    last = F.element_at(
+        F.array(*[F.lit(x) for x in PLANT_LAST]),
+        (F.floor(i / 5) % len(PLANT_LAST) + 1).cast("int"),
+    )
+    full = F.concat(first, F.lit(" "), last)
+    hon = F.concat(F.lit("Dr. "), last)
+    planted = (
+        F.when(i % 5 == 0, F.concat(F.col("text"), F.lit(" Meet "), full,
+                                    F.lit(" today.")))
+        .when(i % 5 == 2, F.concat(F.col("text"), F.lit(" Ask "), hon,
+                                   F.lit(" about it.")))
+        .otherwise(F.col("text"))
+    )
+    rows = d.select(
+        i.alias("doc_id"), full.alias("full"), hon.alias("hon"),
+        planted.alias("t"),
+        S.ner_scrub_pandas_udf()(planted).alias("s"),
+    )
+    is_full = (F.col("doc_id") % 5 == 0)
+    is_hon = (F.col("doc_id") % 5 == 2)
+    return rows.agg(
+        F.sum(is_full.cast("bigint")).alias("planted_full_docs"),
+        F.sum((is_full & F.col("t").contains(F.col("full")))
+              .cast("bigint")).alias("before_full_docs"),
+        F.sum((is_full & F.col("s").contains(F.col("full")))
+              .cast("bigint")).alias("after_full_docs"),
+        F.sum(is_hon.cast("bigint")).alias("planted_hon_docs"),
+        F.sum((is_hon & F.col("t").contains(F.col("hon")))
+              .cast("bigint")).alias("before_hon_docs"),
+        F.sum((is_hon & F.col("s").contains(F.col("hon")))
+              .cast("bigint")).alias("after_hon_docs"),
+    )
+
+
+def _ner_coverage_sql() -> str:
+    from social_media_pii_scrubber_spark.functions.names import (
+        PLANT_FIRST, PLANT_LAST,
+    )
+
+    firsts = ", ".join(f"'{x}'" for x in PLANT_FIRST)
+    lasts = ", ".join(f"'{x}'" for x in PLANT_LAST)
+    first = f"list_extract([{firsts}], cast((doc_id // 5) % {len(PLANT_FIRST)} + 1 as int))"
+    last = f"list_extract([{lasts}], cast((doc_id // 5) % {len(PLANT_LAST)} + 1 as int))"
+    return (
+        f"with t as (select doc_id, {first} || ' ' || {last} as full_name, "
+        f"'Dr. ' || {last} as hon_name, "
+        f"case when doc_id % 5 = 0 then text || ' Meet ' || {first} || ' ' || {last} || ' today.' "
+        f"when doc_id % 5 = 2 then text || ' Ask Dr. ' || {last} || ' about it.' "
+        f"else text end as planted from documents) "
+        # after_* are LITERAL ZERO: the contract is that the NER scrub
+        # removes every planted name; Spark reports actual survivors.
+        f"select cast(sum(case when doc_id % 5 = 0 then 1 else 0 end) as bigint) as planted_full_docs, "
+        f"cast(sum(case when doc_id % 5 = 0 and contains(planted, full_name) then 1 else 0 end) as bigint) as before_full_docs, "
+        f"cast(0 as bigint) as after_full_docs, "
+        f"cast(sum(case when doc_id % 5 = 2 then 1 else 0 end) as bigint) as planted_hon_docs, "
+        f"cast(sum(case when doc_id % 5 = 2 and contains(planted, hon_name) then 1 else 0 end) as bigint) as before_hon_docs, "
+        f"cast(0 as bigint) as after_hon_docs "
+        f"from t"
+    )
+
+
 def q_quality_heuristics(spark, sf):
     d = _t(spark, sf, "documents")
     t = F.col("text")
@@ -431,6 +514,42 @@ def q_flagship_pipeline(spark, sf):
     _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return filter_scrub_pipeline(pages, CFG).df
+
+
+_STREAM_GATE_SEQ = [0]
+
+
+def q_streaming_scrub(spark, sf):
+    """Streaming variant of the flagship pipeline, promoted into the
+    value gate: the web pages are written to a parquet drop-directory,
+    replayed through readStream → the SAME stateless filter+scrub
+    stages → a memory sink drained to completion. The oracle is the
+    BATCH pipeline twin — a bounded stream through stateless stages
+    must equal the batch result exactly."""
+    import shutil
+    import tempfile
+
+    from social_media_pii_scrubber_spark.streaming.stream_pipeline import (
+        run_stream_to_memory, stream_pages_from_directory,
+    )
+
+    _pin_session(spark)
+    pages = webpages_from_documents(spark, sf)
+    src = os.path.join(tempfile.gettempdir(),
+                       f"streaming_scrub_src_{os.getpid()}")
+    shutil.rmtree(src, ignore_errors=True)
+    # several files → the file source replays them as micro-batches
+    pages.repartition(4).write.mode("overwrite").parquet(src)
+    _STREAM_GATE_SEQ[0] += 1
+    name = f"streaming_scrub_gate_{os.getpid()}_{_STREAM_GATE_SEQ[0]}"
+    stream = stream_pages_from_directory(spark, src, pages.schema,
+                                         max_files_per_trigger=1)
+    q = run_stream_to_memory(spark, stream, cfg=CFG, table_name=name)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
 
 
 def q_flagship_with_toxicity(spark, sf):
@@ -911,6 +1030,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- fixed this round (r02 hash_match=false) --
         "pii_coverage": q_pii_coverage,
         "corpus_stats": q_corpus_stats,
+        # -- new in round 3 --
+        "ner_coverage": q_ner_coverage,
+        "streaming_scrub": q_streaming_scrub,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
         "perplexity_udf": q_perplexity_udf,
@@ -1114,6 +1236,7 @@ def oracle_sql() -> dict[str, str]:
             f"select url, {S.scrub_bank_sql('text')} as scrubbed_text from pages"
         ),
         "pii_coverage": _pii_coverage_sql(),
+        "ner_coverage": _ner_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "full_quality_gate": (
             "select doc_id, "
@@ -1168,6 +1291,8 @@ def oracle_sql() -> dict[str, str]:
             f"({L.langid_margin_sql('text')} >= 2) as confident from documents"
         ),
         "flagship_pipeline": pipeline_oracle_sql(pages_cte, CFG),
+        # bounded stream through stateless stages == the batch result
+        "streaming_scrub": pipeline_oracle_sql(pages_cte, CFG),
         "flagship_with_toxicity": pipeline_oracle_sql(pages_cte, CFG, use_toxicity=True),
         "tok_counts": (
             "select doc_id, "
@@ -1306,16 +1431,14 @@ def oracle_sql() -> dict[str, str]:
         # the INDEPENDENT plain-Python implementations (the pytest parity
         # logic promoted into the gate; functions/oracle_fixtures.py).
         # media_scrub stays rows-only (binary kernel, pytest-locked).
-        "perplexity_udf": (
-            "select doc_id, perplexity from read_parquet("
-            f"'{OF.ensure_perplexity_fixture(ORACLE_SF)}')"
+        "perplexity_udf": OF.fixture_sql(
+            OF.ensure_perplexity_fixture, ORACLE_SF, "doc_id, perplexity"
         ),
-        "clean_text_udf": (
-            "select url, cleaned from read_parquet("
-            f"'{OF.ensure_clean_text_fixture(ORACLE_SF)}')"
+        "clean_text_udf": OF.fixture_sql(
+            OF.ensure_clean_text_fixture, ORACLE_SF, "url, cleaned"
         ),
-        "media_scrub_hex": (
-            "select url, scrubbed_hex, width, height, status from read_parquet("
-            f"'{OF.ensure_media_scrub_fixture(ORACLE_SF)}')"
+        "media_scrub_hex": OF.fixture_sql(
+            OF.ensure_media_scrub_fixture, ORACLE_SF,
+            "url, scrubbed_hex, width, height, status",
         ),
     }

@@ -184,30 +184,35 @@ def clean_text_pandas_udf(cfg: ScrubConfig, ner: bool = True):
 # 3. NER stand-in (deterministic; scrubadub/TextBlob not in container)
 # ---------------------------------------------------------------------------
 
-# Small fixed lexicon: enough to exercise the detect→replace path in
-# tests. A real deployment replaces _ner_scrub with scrubadub's
-# TextBlobNameDetector pipeline (reference smparserbase.py:74-75).
-_NAME_LEXICON = frozenset(
-    n.lower()
-    for n in (
-        "james john robert michael william david richard joseph thomas charles "
-        "mary patricia jennifer linda elizabeth barbara susan jessica sarah karen "
-        "maggie emma olivia noah liam sophia isabella mia amelia harper lucas "
-        "george alice peter laura kevin brian anna grace henry".split()
-    )
-)
+# Lexicon: ~600 common US given names (functions/names.py — SSA-style
+# public lists), loaded once per worker. A real deployment replaces
+# _ner_scrub with scrubadub's TextBlobNameDetector pipeline (reference
+# smparserbase.py:74-75); the lexicon path stays as a cheap pre-filter.
+from .names import HONORIFICS, name_lexicon  # noqa: E402
+
+_NAME_LEXICON = name_lexicon()
 
 _CAP_RUN = re.compile(r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b")
 
+# Honorific-anchored: 'Dr. Quill' / 'Mrs Featherstone' are names by
+# construction, even when the surname is outside any frequency lexicon.
+_HONORIFIC = re.compile(
+    r"\b(" + "|".join(HONORIFICS) + r")\.? ([A-Z][a-z]+)(?: ([A-Z][a-z]+))?"
+)
+
 
 def ner_scrub_text(text: str) -> str:
-    """Deterministic NER stand-in: lexicon-gated capitalized-name scrub.
+    """Deterministic NER stand-in: honorific-anchored + lexicon-gated
+    capitalized-name scrub.
 
-    Within each run of capitalized words, a word whose lowercase form is
+    Pass 1 replaces '<Honorific> <Cap> [<Cap>]' spans with
+    '<Honorific> {{NAME}}' (titles are not PII; the name is). Pass 2:
+    within each run of capitalized words, a word whose lowercase form is
     in the name lexicon is replaced with {{NAME}} and the immediately
     following capitalized word (surname position) is folded into the
     same token, mirroring scrubadub's span-level replacement.
     """
+    text = _HONORIFIC.sub(lambda m: f"{m.group(1)} {{{{NAME}}}}", text)
 
     def _sub(m: re.Match) -> str:
         words = m.group(0).split(" ")

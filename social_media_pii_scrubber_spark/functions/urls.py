@@ -16,7 +16,10 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TRACKING = r"(utm_[A-Za-z]+|fbclid|gclid|ref)=[^&#]*"
+# The param NAME must be anchored at a '?'/'&' separator (kept via
+# backreference) — unanchored, any param merely ENDING in 'ref' (pref=,
+# href=) was corrupted and distinct URLs collapsed under url-dedup.
+_TRACKING = r"([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def url_canonicalize_expr(url: Column) -> Column:
@@ -24,7 +27,7 @@ def url_canonicalize_expr(url: Column) -> Column:
     head = F.lower(F.regexp_extract(u, r"^([A-Za-z]+://[^/?]*)", 1))
     tail = F.regexp_extract(u, r"^[A-Za-z]+://[^/?]*(.*)$", 1)
     u = F.when(head != "", F.concat(head, tail)).otherwise(u)   # 2
-    u = F.regexp_replace(u, _TRACKING, "")                      # 3
+    u = F.regexp_replace(u, _TRACKING, "$1")                    # 3
     u = F.regexp_replace(u, r"\?&+", "?")                       # 4
     u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?&]+$", "")
@@ -36,7 +39,7 @@ def url_canonicalize_sql(url: str) -> str:
     head = f"lower(regexp_extract({u}, '^([A-Za-z]+://[^/?]*)', 1))"
     tail = f"regexp_extract({u}, '^[A-Za-z]+://[^/?]*(.*)$', 1)"
     u = f"(case when {head} != '' then {head} || {tail} else {u} end)"
-    u = f"regexp_replace({u}, '{_TRACKING}', '', 'g')"
+    u = f"regexp_replace({u}, '{_TRACKING}', '\\1', 'g')"
     u = f"regexp_replace({u}, '\\?&+', '?', 'g')"
     u = f"regexp_replace({u}, '&&+', '&', 'g')"
     u = f"regexp_replace({u}, '[?&]+$', '', 'g')"
@@ -51,7 +54,7 @@ def url_canonicalize_python(url: str) -> str:
     m = re.match(r"^([A-Za-z]+://[^/?]*)(.*)$", u)
     if m:
         u = m.group(1).lower() + m.group(2)
-    u = re.sub(_TRACKING, "", u)
+    u = re.sub(_TRACKING, r"\1", u)
     u = re.sub(r"\?&+", "?", u)
     u = re.sub(r"&&+", "&", u)
     u = re.sub(r"[?&]+$", "", u)

@@ -28,19 +28,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut_lineage(df: DataFrame, mode: str) -> DataFrame:
+    """Cut the iterative plan's lineage. ``local`` = executor-disk
+    localCheckpoint (fast, NOT fault-tolerant: a lost executor kills the
+    job past the cut). ``reliable`` = checkpoint to the configured
+    checkpoint dir (HDFS/S3 at cluster scale) — survives executor loss,
+    which is mandatory for a multi-hour 100-TB run."""
+    if mode == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            raise ValueError(
+                "checkpoint='reliable' requires "
+                "spark.sparkContext.setCheckpointDir(<durable path>) — "
+                "refusing to default silently (a local tmp dir would not "
+                "survive executor loss, defeating the mode's purpose)")
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(f"checkpoint mode must be 'local' or 'reliable', got {mode!r}")
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         checkpoint: str = "local") -> DataFrame:
     """(id, cluster_id) for every node appearing in ``pairs``; the
-    cluster id is the minimum node id reachable from the node."""
+    cluster id is the minimum node id reachable from the node.
+
+    ``checkpoint``: 'local' (default, single-box / short jobs) or
+    'reliable' (cluster-scale; see _cut_lineage)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = (
+    edges = _cut_lineage(
         edges.unionByName(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every iteration
-    )
+        ).distinct(),
+        checkpoint,
+    )  # reused every iteration
     labels = edges.select(F.col("src").alias("node")).distinct() \
         .withColumn("label", F.col("node"))
 
@@ -63,8 +86,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                         F.coalesce(F.col("nbr_label"), F.col("label"))
                         ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = _cut_lineage(new_labels, checkpoint)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), on="node")
@@ -98,19 +121,26 @@ def connected_components_sql(pairs_sql: str, id_a: str = "id_a",
 
 
 def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
-                    max_iterations: int = 20) -> DataFrame:
+                    max_iterations: int = 20,
+                    checkpoint: str = "local") -> DataFrame:
     """The dedup DECISION: every row of ``df``, flagged keep/drop.
 
     Cluster representatives are the min id per component; rows not in
-    any pair are their own representative (kept). One broadcast-able
-    join against the (small) drop-list — at 100 TB the drop-list is a
-    fraction of the corpus, so the corpus-side scan stays shuffle-free.
+    any pair are their own representative (kept). The drop-list join is
+    deliberately NOT hint-broadcast: at 10^12 docs with web-realistic
+    near-dup rates (tens of percent) the drop-list is 10^10+ ids — a
+    forced broadcast would OOM the driver. A plain equi-join lets AQE
+    pick broadcast when the list is genuinely under the threshold and
+    shuffle-hash/sort-merge otherwise; for repeated runs against a
+    stable corpus, bucket both sides on ``id_col``
+    (sources.tables.write_bucketed) to make it a zero-shuffle join.
     """
-    comp = connected_components(pairs, max_iterations=max_iterations)
+    comp = connected_components(pairs, max_iterations=max_iterations,
+                                checkpoint=checkpoint)
     drops = comp.filter(F.col("id") != F.col("cluster_id")) \
         .select(F.col("id").alias(id_col)).withColumn("_drop", F.lit(True))
     return (
-        df.join(F.broadcast(drops), on=id_col, how="left")
+        df.join(drops, on=id_col, how="left")
         .withColumn("keep_dedup", F.col("_drop").isNull())
         .drop("_drop")
     )
@@ -119,7 +149,8 @@ def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
 def near_dup_dedup(df: DataFrame, text_col: str, id_col: str,
                    jaccard_threshold: float = 0.8,
                    num_hashes: int | None = None,
-                   band_size: int | None = None) -> DataFrame:
+                   band_size: int | None = None,
+                   checkpoint: str = "local") -> DataFrame:
     """The PRODUCTION near-dup chain, end to end:
 
         wide xxhash MinHash-LSH candidates (128 hashes / 16 bands)
@@ -152,7 +183,7 @@ def near_dup_dedup(df: DataFrame, text_col: str, id_col: str,
         / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0))
     )
     pairs = joined.filter(jac >= jaccard_threshold).select("id_a", "id_b")
-    return dedup_keep_list(df, pairs, id_col)
+    return dedup_keep_list(df, pairs, id_col, checkpoint=checkpoint)
 
 
 def dedup_keep_list_sql(table_sql: str, pairs_sql: str, id_col: str) -> str:

@@ -33,10 +33,15 @@ def contaminated_docs(train: DataFrame, eval_set: DataFrame, text_col: str,
     bank = eval_set.select(
         F.explode(shingles_expr(F.col(text_col), k)).alias("sh")
     ).distinct()
+    # count DISTINCT shared shingles (the GPT-3/PaLM contract): a bank
+    # shingle repeated min_shared times inside ONE train doc must not
+    # flag it. Dedup happens AFTER the broadcast join, not on the full
+    # exploded corpus — the join keeps only bank hits (a tiny fraction),
+    # so the distinct-aggregate shuffles almost nothing at scale.
     return (
         tsh.join(F.broadcast(bank), on="sh")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.countDistinct("sh").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col(id_col).alias("id"), "n_shared")
     )
@@ -49,9 +54,10 @@ def contaminated_docs_sql(train_sql: str, eval_sql: str, text_col: str,
     return (
         f"with tsh as (select {id_col}, unnest({sh}) as sh from {train_sql}), "
         f"bank as (select distinct unnest({sh}) as sh from {eval_sql}) "
-        f"select {id_col} as id, count(*) as n_shared "
+        f"select {id_col} as id, "
+        f"cast(count(distinct sh) as bigint) as n_shared "
         f"from tsh join bank using (sh) "
-        f"group by {id_col} having count(*) >= {min_shared}"
+        f"group by {id_col} having count(distinct sh) >= {min_shared}"
     )
 
 

@@ -48,26 +48,45 @@ def _get_decoder():
     """
     dec = _DECODER_CACHE.get("decoder")
     if dec is None:
-        # The real PIL path is opt-in: media workers must NEVER fail the
+        dec = _FakeDecoder()
+        # The real PIL path is opt-in; media workers must NEVER fail the
         # whole job because an optional dependency happens to be
-        # importable but unwired (per-record never-fail contract).
+        # importable but unwired (per-record never-fail contract,
+        # smparserbase.py:164-167) — ANY failure building the real
+        # decoder degrades to the fake one with records tagged
+        # 'error:decoder' instead of raising out of the worker.
         if os.environ.get("SCRUB_MEDIA_REAL_DECODER") == "1":
             try:
-                import PIL  # noqa: F401 — real path, not in container
-
-                raise NotImplementedError(
-                    "real PIL decode path not wired in this environment"
-                )
+                dec = _build_real_decoder()
             except ImportError:
-                dec = _FakeDecoder()
-        else:
-            dec = _FakeDecoder()
+                dec = _FakeDecoder()          # dep absent: normal stub path
+            except Exception:
+                dec = _FakeDecoder(status="error:decoder")
         _DECODER_CACHE["decoder"] = dec
     return dec
 
 
+def _build_real_decoder():
+    """Production seam: import PIL + face_recognition, load the detector
+    once per worker, return an object with decode_meta/blur. Not wired
+    in this container (the libs are absent)."""
+    import PIL  # noqa: F401 — real path, not in container
+
+    raise NotImplementedError(
+        "real PIL decode path not wired in this environment"
+    )
+
+
 class _FakeDecoder:
-    """Deterministic stand-in for PIL decode + face blur."""
+    """Deterministic stand-in for PIL decode + face blur.
+
+    ``status`` is what healthy records are tagged with: 'ok' normally,
+    'error:decoder' when this fake is standing in for a real decoder
+    that failed to initialize (so the degradation is visible in the
+    output instead of crashing the job)."""
+
+    def __init__(self, status: str = "ok"):
+        self.status = status
 
     def decode_meta(self, blob: bytes) -> tuple[int, int]:
         # fake dimensions derived deterministically from content
@@ -81,6 +100,33 @@ class _FakeDecoder:
         return blob[:lo] + b"\x00" * (hi - lo) + blob[hi:]
 
 
+def _scrub_batches(batches: Iterator[pd.DataFrame], url_col: str,
+                   bytes_col: str) -> Iterator[pd.DataFrame]:
+    """Worker-side kernel of scrub_media (module-level so the decoder
+    degradation contract is unit-testable without a Spark worker)."""
+    dec = _get_decoder()
+    for pdf in batches:
+        out = {"url": [], "scrubbed_bytes": [], "width": [],
+               "height": [], "status": []}
+        for url, blob in zip(pdf[url_col], pdf[bytes_col]):
+            out["url"].append(url)
+            try:
+                if blob is None:
+                    raise ValueError("null blob")
+                blob = bytes(blob)
+                w, h = dec.decode_meta(blob)
+                out["scrubbed_bytes"].append(dec.blur(blob))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["status"].append(dec.status)
+            except Exception as e:  # per-record isolation
+                out["scrubbed_bytes"].append(None)
+                out["width"].append(None)
+                out["height"].append(None)
+                out["status"].append(f"error:{type(e).__name__}")
+        yield pd.DataFrame(out)
+
+
 def scrub_media(df: DataFrame, url_col: str = "url",
                 bytes_col: str = "html") -> DataFrame:
     """Binary scrub via mapInPandas: decode → transform → status.
@@ -90,27 +136,7 @@ def scrub_media(df: DataFrame, url_col: str = "url",
     """
 
     def _scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = _get_decoder()
-        for pdf in batches:
-            out = {"url": [], "scrubbed_bytes": [], "width": [],
-                   "height": [], "status": []}
-            for url, blob in zip(pdf[url_col], pdf[bytes_col]):
-                out["url"].append(url)
-                try:
-                    if blob is None:
-                        raise ValueError("null blob")
-                    blob = bytes(blob)
-                    w, h = dec.decode_meta(blob)
-                    out["scrubbed_bytes"].append(dec.blur(blob))
-                    out["width"].append(w)
-                    out["height"].append(h)
-                    out["status"].append("ok")
-                except Exception as e:  # per-record isolation
-                    out["scrubbed_bytes"].append(None)
-                    out["width"].append(None)
-                    out["height"].append(None)
-                    out["status"].append(f"error:{type(e).__name__}")
-            yield pd.DataFrame(out)
+        return _scrub_batches(batches, url_col, bytes_col)
 
     return df.select(url_col, bytes_col).mapInPandas(_scrub, MEDIA_SCRUB_SCHEMA)
 

@@ -24,7 +24,16 @@ from ..functions.text import ws_token_count_expr, ws_token_count_sql
 PCTS = (0.5, 0.9, 0.99)
 
 
-def corpus_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+def corpus_stats(df: DataFrame, text_col: str, group_col: str,
+                 approx: bool = False,
+                 approx_accuracy: int = 10_000) -> DataFrame:
+    """``approx=False`` (default, the ORACLE rendering): exact
+    ``percentile`` — buffers each group's values on its reducer, fine
+    while groups are languages. ``approx=True`` (the 100-TB rendering):
+    ``percentile_approx`` (Greenwald-Khanna sketch, constant memory per
+    group, partial-aggregable map-side) — rank error bounded by
+    1/approx_accuracy (default 10^-4), so p50/p90/p99 of doc length are
+    exact to ~0.01% of rank at any corpus size."""
     t = F.col(text_col)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
@@ -32,10 +41,13 @@ def corpus_stats(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
         F.sum(F.length(t)).alias("total_chars"),
     ]
     for p in PCTS:
-        aggs.append(
-            F.round(F.expr(f"percentile(length({text_col}), {p})"), 4)
-            .alias(f"len_p{int(p * 100)}")
-        )
+        if approx:
+            pct = F.expr(
+                f"percentile_approx(length({text_col}), {p}, {approx_accuracy})"
+            ).cast("double")
+        else:
+            pct = F.expr(f"percentile(length({text_col}), {p})")
+        aggs.append(F.round(pct, 4).alias(f"len_p{int(p * 100)}"))
     return df.groupBy(group_col).agg(*aggs)
 
 

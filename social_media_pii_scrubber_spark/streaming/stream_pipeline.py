@@ -21,10 +21,17 @@ from ..plans.pipeline import filter_scrub_pipeline
 
 
 def stream_pages_from_directory(
-    spark: SparkSession, path: str, schema
+    spark: SparkSession, path: str, schema,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-drop source: each new parquet file in `path` is a micro-batch."""
-    return spark.readStream.schema(schema).parquet(path)
+    """File-drop source: new parquet files in `path` become micro-batches.
+
+    ``max_files_per_trigger`` caps files per batch (default: all
+    available files in one batch, the Spark file-source default)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def streaming_filter_scrub(

@@ -49,6 +49,48 @@ def test_max_iterations_guard(spark):
     assert all(v <= k for k, v in got.items())
 
 
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """Same clusters under checkpoint='reliable' (cluster-scale mode:
+    lineage cut to a durable dir instead of executor disks)."""
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(_pairs(spark, [(1, 2)]),
+                                 checkpoint="reliable").collect()
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = _pairs(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+    got = _clusters(connected_components(pairs, checkpoint="reliable"))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    pairs = _pairs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = _clusters(connected_components(pairs, checkpoint="reliable"))
+    assert set(got.values()) == {1}
+
+
+def test_bad_checkpoint_mode_rejected(spark):
+    with pytest.raises(ValueError, match="local.*reliable"):
+        connected_components(_pairs(spark, [(1, 2)]), checkpoint="s3")
+
+
+def test_keep_list_join_not_forced_broadcast(spark):
+    """The drop-list join must NOT be a broadcast HINT: with the auto
+    threshold disabled, no BroadcastExchange may appear (a 10^10-id
+    drop-list at corpus scale cannot be broadcast; AQE may still choose
+    broadcast at runtime when the list is genuinely small)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(100))}), "doc_id long")
+    pairs = _pairs(spark, [(1, 2), (2, 3)])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_keep_list(df, pairs, "doc_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan, plan
+        got = {r.doc_id: r.keep_dedup for r in out.collect()
+               if r.doc_id in (1, 2, 3, 50)}
+        assert got == {1: True, 2: False, 3: False, 50: True}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_dedup_keep_list_flags(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2, 3, 10, 11, 50]}), "doc_id long"

@@ -34,6 +34,25 @@ def test_copy_and_partial_overlap_flagged(spark):
     assert got[1] >= got[3] if 3 in got else True
 
 
+def test_repeated_single_shingle_not_flagged(spark):
+    """One bank shingle repeated >= min_shared times inside a single
+    train doc must NOT flag it: the contract counts DISTINCT shared
+    shingles (GPT-3 appendix-C style)."""
+    # 'the quick brown' is the ONLY 3-shingle shared with the eval bank;
+    # it occurs 3 times in doc 1 (boundary shingles 'aaa the quick' etc.
+    # are not in the bank).
+    train = _df(spark, [
+        (1, "aaa the quick brown bbb the quick brown ccc the quick brown ddd"),
+        (2, EVAL_TEXT),                                   # genuinely shared
+    ])
+    ev = _df(spark, [(100, EVAL_TEXT)])
+    got = {r.id: r.n_shared
+           for r in contaminated_docs(train, ev, "text", "doc_id",
+                                      min_shared=2).collect()}
+    assert 1 not in got
+    assert 2 in got
+
+
 def test_decontaminate_flags(spark):
     train = _df(spark, [
         (1, EVAL_TEXT),

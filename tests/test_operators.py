@@ -176,3 +176,40 @@ class TestMedia:
         assert ok.width > 0 and ok.height > 0
         bad = rows["u2"]
         assert bad.status.startswith("error:") and bad.scrubbed_bytes is None
+
+    def test_real_decoder_optin_degrades_never_raises(self, monkeypatch):
+        """SCRUB_MEDIA_REAL_DECODER=1 with PIL importable but the real
+        path unwired must NOT raise out of the worker: records complete
+        with status='error:decoder' (per-record never-fail contract,
+        smparserbase.py:164-167). Driver-side unit test of the worker
+        kernel — monkeypatching can't cross into Spark's Python
+        workers."""
+        import sys
+        import types
+
+        from social_media_pii_scrubber_spark.operators import media
+
+        monkeypatch.setenv("SCRUB_MEDIA_REAL_DECODER", "1")
+        monkeypatch.setitem(sys.modules, "PIL", types.ModuleType("PIL"))
+        monkeypatch.setattr(media, "_DECODER_CACHE", {})
+        dec = media._get_decoder()
+        assert isinstance(dec, media._FakeDecoder)
+        assert dec.status == "error:decoder"
+        pdf = pd.DataFrame({"url": ["u1", "u2"],
+                            "html": [b"0123456789" * 3, None]})
+        out = pd.concat(media._scrub_batches(iter([pdf]), "url", "html"))
+        assert list(out["status"]) == ["error:decoder", "error:ValueError"]
+        # the transform itself still ran (degraded, not skipped)
+        assert out["scrubbed_bytes"][0] is not None
+
+    def test_real_decoder_optin_absent_dep_stays_ok(self, monkeypatch):
+        """Opt-in env var with PIL genuinely absent = the normal stub
+        path, healthy records stay status='ok'."""
+        import sys
+
+        from social_media_pii_scrubber_spark.operators import media
+
+        monkeypatch.setenv("SCRUB_MEDIA_REAL_DECODER", "1")
+        monkeypatch.setitem(sys.modules, "PIL", None)  # forces ImportError
+        monkeypatch.setattr(media, "_DECODER_CACHE", {})
+        assert media._get_decoder().status == "ok"

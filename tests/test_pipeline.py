@@ -140,3 +140,28 @@ class TestCheckpointResume:
 
         got = spark.read.parquet(f"{out}/data").count()
         assert got == total  # no loss, no duplication
+
+
+class TestCorpusStats:
+    def test_approx_percentiles_close_to_exact(self, spark, sf_dir):
+        """approx=True (the 100-TB rendering: percentile_approx sketch)
+        must agree with the exact oracle rendering to within the
+        documented rank-error bound — at 500 docs/5 langs, exactly."""
+        from social_media_pii_scrubber_spark.plans.stats import corpus_stats
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        exact = {r.lang: r for r in
+                 corpus_stats(docs, "text", "lang").collect()}
+        approx = {r.lang: r for r in
+                  corpus_stats(docs, "text", "lang", approx=True).collect()}
+        assert set(exact) == set(approx)
+        for lang, e in exact.items():
+            a = approx[lang]
+            assert (a.n_docs, a.total_tokens, a.total_chars) == \
+                (e.n_docs, e.total_tokens, e.total_chars)
+            for col in ("len_p50", "len_p90", "len_p99"):
+                # sketch returns a real sample value; exact interpolates
+                # between neighbours — at 100 docs/group the neighbour
+                # gap dominates, so tolerate a few percent of the value
+                assert abs(getattr(a, col) - getattr(e, col)) <= \
+                    max(2.0, 0.05 * getattr(e, col))

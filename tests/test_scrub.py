@@ -66,6 +66,24 @@ class TestCleanTextReferenceSemantics:
         # lexicon name after non-name cap word is still caught
         assert ner_scrub_text("Visit Emma today") == "Visit {{NAME}} today"
 
+    def test_ner_extended_lexicon(self):
+        # names beyond the original 50-word list (functions/names.py)
+        assert ner_scrub_text("ask Xavier Quill about it") == \
+            "ask {{NAME}} about it"
+        assert ner_scrub_text("Scarlett Nakamura wrote this") == \
+            "{{NAME}} wrote this"
+
+    def test_ner_honorific_anchored(self):
+        # honorific catches surnames OUTSIDE any lexicon
+        assert ner_scrub_text("see Dr. Okafor tomorrow") == \
+            "see Dr {{NAME}} tomorrow"
+        assert ner_scrub_text("Mrs Featherstone called") == \
+            "Mrs {{NAME}} called"
+        assert ner_scrub_text("per Prof. Lindqvist Baker notes") == \
+            "per Prof {{NAME}} notes"
+        # honorific without a following capitalized word is untouched
+        assert ner_scrub_text("the dr said rest") == "the dr said rest"
+
 
 class TestScrubBank:
     @pytest.mark.parametrize("text,expect", [

@@ -17,7 +17,22 @@ CASES = [
     ("https://a.co/p?gclid=1&q=2&ref=hn", "https://a.co/p?q=2"),
     ("not a url at all", "not a url at all"),
     ("https://UPPER.example/q?ID=Case", "https://upper.example/q?ID=Case"),
+    # regression: params merely ENDING in 'ref' are NOT tracking params
+    ("https://ex.com/page?pref=dark&x=1", "https://ex.com/page?pref=dark&x=1"),
+    ("https://ex.com/page?href=abc", "https://ex.com/page?href=abc"),
+    ("https://ex.com/p?pref=1&ref=hn&href=2", "https://ex.com/p?pref=1&href=2"),
+    ("https://a.co/p?utm_term_x=1&id=2", "https://a.co/p?id=2"),
 ]
+
+
+def test_distinct_pref_values_stay_distinct(spark):
+    """?pref=1 vs ?pref=2 must NOT collapse (url-dedup would wrongly
+    drop non-duplicate pages)."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"u": ["https://ex.com/p?pref=1", "https://ex.com/p?pref=2"]}),
+        "u string")
+    n = df.select(url_canonicalize_expr(F.col("u")).alias("c")).distinct().count()
+    assert n == 2
 
 
 def test_canonicalize_cases(spark):
