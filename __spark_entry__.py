@@ -29,6 +29,7 @@ from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators import contamination as CT
 from social_media_pii_scrubber_spark.operators import dedup as DD
 from social_media_pii_scrubber_spark.operators import joins as J
+from social_media_pii_scrubber_spark.operators import lines as LN
 from social_media_pii_scrubber_spark.operators import pivots as P
 from social_media_pii_scrubber_spark.operators import sampling as SA
 from social_media_pii_scrubber_spark.operators import packing as PK
@@ -362,6 +363,61 @@ def _pii_coverage_sql() -> str:
     return f"with pages as ({pages_cte}) select {', '.join(cols)} from pages"
 
 
+# round-3 scrub-bank extension classes, planted inline on doc_id
+# residues (mod, snippet, count-pattern); both engines re-derive the
+# plantings, so before-counts cross-check and after = 0 is the contract.
+_PII_EXT_PLANT = {
+    "creditcard": (29, " card 4111-1111-1111-1111 on file",
+                   r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b"),
+    "mac": (31, " nic 00:1A:2B:3C:4D:5E up",
+            r"\b[0-9A-Fa-f]{2}(:[0-9A-Fa-f]{2}){5}\b"),
+    "iban": (37, " iban DE44500105175407324931 paid",
+             r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b"),
+}
+
+
+def q_pii_coverage_ext(spark, sf):
+    """Scrub-coverage audit for the round-3 bank classes (credit card,
+    MAC address, IBAN): planted inline on doc_id residues, counted
+    before and after the full scrub bank. after = 0 cross-engine."""
+    _pin_session(spark)
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        *[F.when(i % mod == 0, F.lit(snippet)).otherwise(F.lit(""))
+          for mod, snippet, _pat in _PII_EXT_PLANT.values()],
+    )
+    scrubbed = S.scrub_bank_expr(planted)
+    aggs = []
+    for name, (_mod, _snippet, pat) in _PII_EXT_PLANT.items():
+        aggs.append(F.sum(F.regexp_count(planted, F.lit(pat)))
+                    .alias(f"before_{name}"))
+        aggs.append(F.sum(F.regexp_count(scrubbed, F.lit(pat)))
+                    .alias(f"after_{name}"))
+    return d.agg(*aggs)
+
+
+def _pii_coverage_ext_sql() -> str:
+    plant = "text" + "".join(
+        f" || (case when doc_id % {mod} = 0 then '{snippet}' else '' end)"
+        for mod, snippet, _pat in _PII_EXT_PLANT.values()
+    )
+    scrub = S.scrub_bank_sql(f"({plant})")
+    cols = []
+    for name, (_mod, _snippet, pat) in _PII_EXT_PLANT.items():
+        p = pat.replace("'", "''")
+        cols.append(
+            f"cast(sum(len(regexp_extract_all({plant}, '{p}'))) as bigint)"
+            f" as before_{name}"
+        )
+        cols.append(
+            f"cast(sum(len(regexp_extract_all({scrub}, '{p}'))) as bigint)"
+            f" as after_{name}"
+        )
+    return f"select {', '.join(cols)} from documents"
+
+
 def q_ner_coverage(spark, sf):
     """Planted-names NER audit, cross-engine value-checked.
 
@@ -514,6 +570,30 @@ def q_flagship_pipeline(spark, sf):
     _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return filter_scrub_pipeline(pages, CFG).df
+
+
+# documents.text has no newlines; synthesize deterministic lines the
+# same way q_quality_repetition does so the line operators exercise
+# their non-trivial paths in both engines.
+_LINES_SPARK = lambda: F.regexp_replace(F.col("text"), r" the ", "\nthe ")  # noqa: E731
+_LINES_SQL = "regexp_replace(text, ' the ', chr(10) || 'the ', 'g')"
+
+
+def q_line_dedup(spark, sf):
+    """Corpus-global exact line dedup (C4 span-dedup at line granularity):
+    first occurrence by (doc_id, position) survives, short lines pass."""
+    d = _t(spark, sf, "documents")
+    return LN.line_dedup(
+        d.select("doc_id", _LINES_SPARK().alias("lined")), "lined", "doc_id")
+
+
+def q_c4_line_filter(spark, sf):
+    """C4 line rules: terminal punctuation + >=4 words + no boilerplate."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        LN.c4_line_filter_expr(_LINES_SPARK()).alias("text_c4"),
+    )
 
 
 _STREAM_GATE_SEQ = [0]
@@ -1033,6 +1113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 3 --
         "ner_coverage": q_ner_coverage,
         "streaming_scrub": q_streaming_scrub,
+        "line_dedup": q_line_dedup,
+        "c4_line_filter": q_c4_line_filter,
+        "pii_coverage_ext": q_pii_coverage_ext,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
         "perplexity_udf": q_perplexity_udf,
@@ -1236,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
             f"select url, {S.scrub_bank_sql('text')} as scrubbed_text from pages"
         ),
         "pii_coverage": _pii_coverage_sql(),
+        "pii_coverage_ext": _pii_coverage_ext_sql(),
         "ner_coverage": _ner_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "full_quality_gate": (
@@ -1293,6 +1377,14 @@ def oracle_sql() -> dict[str, str]:
         "flagship_pipeline": pipeline_oracle_sql(pages_cte, CFG),
         # bounded stream through stateless stages == the batch result
         "streaming_scrub": pipeline_oracle_sql(pages_cte, CFG),
+        "line_dedup": LN.line_dedup_sql(
+            f"(select doc_id, {_LINES_SQL} as lined from documents)",
+            "lined", "doc_id",
+        ),
+        "c4_line_filter": (
+            f"select doc_id, {LN.c4_line_filter_sql(f'({_LINES_SQL})')} "
+            f"as text_c4 from documents"
+        ),
         "flagship_with_toxicity": pipeline_oracle_sql(pages_cte, CFG, use_toxicity=True),
         "tok_counts": (
             "select doc_id, "

@@ -60,10 +60,15 @@ SCRUB_BANK: list[tuple[str, str, str]] = [
     ("email", r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "{{EMAIL}}"),
     ("handle", r"@\w+", "{{HANDLE}}"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "{{SSN}}"),
+    # creditcard before phone: 4x4 digit groups are more specific than
+    # the phone shapes and must not be half-eaten
+    ("creditcard", r"\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b", "{{CREDITCARD}}"),
     # \b sits inside the alternatives: a leading "(" has no word boundary
     ("phone", r"(\b\+?1[-. ]?)?(\(\d{3}\) ?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b", "{{PHONE}}"),
     ("ip", r"\b\d{1,3}(\.\d{1,3}){3}\b", "{{IP}}"),
+    ("mac", r"\b[0-9A-Fa-f]{2}(:[0-9A-Fa-f]{2}){5}\b", "{{MAC}}"),
     ("geo", r"-?\d{1,3}\.\d{3,}, ?-?\d{1,3}\.\d{3,}", "{{GEO}}"),
+    ("iban", r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b", "{{IBAN}}"),
 ]
 
 

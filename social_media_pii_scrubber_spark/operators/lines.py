@@ -1,0 +1,141 @@
+"""Line-level corpus cleaning: C4 line filter + global line dedup.
+
+Two web-pipeline operators the doc-level family can't express:
+
+- ``c4_line_filter`` — C4's line rules (Raffel et al., 2020 §2.2):
+  keep a line only if it ends in terminal punctuation, has at least
+  ``min_words`` words, and contains none of the boilerplate markers
+  (javascript/cookie/lorem ipsum/curly brace). Pure per-row array ops
+  (split → filter → reassemble) — whole-stage codegen, embarrassingly
+  parallel, no shuffle.
+
+- ``line_dedup`` — global exact line dedup (the line-granularity
+  variant of C4's three-sentence-span rule / RefinedWeb's exact
+  substring dedup): across the whole corpus, every distinct qualifying
+  line is kept once — at its first occurrence by (doc_id, line index) —
+  and removed everywhere else. Short lines (< ``min_words``) do NOT
+  participate: they pass through unconditionally. This both matches
+  practice (dedup of "Home" / "" would shred documents) and kills the
+  skew problem — the hottest natural-language lines are orders of
+  magnitude colder than the empty line they'd otherwise shuffle with.
+
+100-TB shape of ``line_dedup``: explode lines once; ONE shuffle on the
+line (first-occurrence via min(struct(doc_id, pos)) — partially
+aggregated map-side, so a line repeated 10^6 times sends one candidate
+per map task, not 10^6 rows); broadcast-free equi-join back; one
+shuffle per doc to reassemble. No window over the full corpus, no
+driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MIN_WORDS = 4
+# C4 boilerplate markers (lowercased containment)
+BLOCK_TERMS = ("javascript", "cookie", "lorem ipsum", "{")
+_TERMINAL = r'[.!?"]$'
+
+
+def _line_words(line):
+    return F.size(F.split(F.trim(line), r"\s+"))
+
+
+def _qualifies(line):
+    """Line participates in dedup: long enough to be content."""
+    return (F.length(F.trim(line)) > 0) & (_line_words(line) >= MIN_WORDS)
+
+
+def c4_line_filter_expr(text, min_words: int = MIN_WORDS):
+    """text → cleaned text with non-C4 lines removed (column expr)."""
+    keep = lambda ln: (  # noqa: E731
+        (_line_words(ln) >= min_words)
+        & (ln.rlike(_TERMINAL))
+        & ~F.lower(ln).contains(BLOCK_TERMS[0])
+        & ~F.lower(ln).contains(BLOCK_TERMS[1])
+        & ~F.lower(ln).contains(BLOCK_TERMS[2])
+        & ~ln.contains(BLOCK_TERMS[3])
+    )
+    return F.array_join(F.filter(F.split(text, "\n"), keep), "\n")
+
+
+def c4_line_filter_sql(text: str, min_words: int = MIN_WORDS) -> str:
+    """DuckDB twin of c4_line_filter_expr."""
+    words = "len(regexp_split_to_array(trim(ln), '\\s+'))"
+    cond = (
+        f"{words} >= {min_words} and regexp_matches(ln, '{_TERMINAL}') "
+        f"and not contains(lower(ln), 'javascript') "
+        f"and not contains(lower(ln), 'cookie') "
+        f"and not contains(lower(ln), 'lorem ipsum') "
+        f"and not contains(ln, '{{')"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL; Spark's
+    # array_join(empty) is '' — match Spark.
+    return (
+        f"coalesce(array_to_string(list_filter(split({text}, chr(10)), "
+        f"ln -> {cond}), chr(10)), '')"
+    )
+
+
+def line_dedup(docs: DataFrame, text_col: str, id_col: str,
+               min_words: int = MIN_WORDS) -> DataFrame:
+    """(id, text_deduped): corpus-global exact line dedup.
+
+    Every qualifying line (>= min_words words) survives only at its
+    first occurrence ordered by (doc id, line position); short lines
+    always survive. Line order within each doc is preserved.
+    """
+    i = F.col(id_col)
+    lines = docs.select(
+        i.alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ln"),
+    )
+    qual = lines.filter(_qualifies(F.col("_ln")))
+    # first occurrence per line: min over a (doc, pos) struct — the agg
+    # partial-combines map-side, so hot lines cost one row per task
+    first = qual.groupBy("_ln").agg(
+        F.min(F.struct(F.col("_id").alias("fid"),
+                       F.col("_pos").alias("fpos"))).alias("_first")
+    )
+    kept = (
+        lines.join(first, on="_ln", how="left")
+        .filter(
+            F.col("_first").isNull()  # short/blank lines pass through
+            | ((F.col("_first.fid") == F.col("_id"))
+               & (F.col("_first.fpos") == F.col("_pos")))
+        )
+    )
+    return (
+        kept.groupBy("_id")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
+                lambda s: s["_ln"],
+            ), "\n").alias("text_deduped"))
+        .select(F.col("_id").alias(id_col), "text_deduped")
+    )
+
+
+def line_dedup_sql(table_sql: str, text_col: str, id_col: str,
+                   min_words: int = MIN_WORDS) -> str:
+    """DuckDB twin: line-index explode via unnest(generate_series) +
+    first-occurrence agg (DuckDB has no WITH ORDINALITY)."""
+    words = "len(regexp_split_to_array(trim(ln), '\\s+'))"
+    return (
+        f"with s as (select {id_col} as _id, split({text_col}, chr(10)) as lns"
+        f"  from {table_sql}), "
+        f"e as (select _id, unnest(generate_series(1, len(lns))) as _pos, lns"
+        f"  from s), "
+        f"l as (select _id, _pos, list_extract(lns, _pos) as _ln from e), "
+        f"firsts as ("
+        f"  select _ln, min(struct_pack(fid := _id, fpos := _pos)) as _first"
+        f"  from l where length(trim(_ln)) > 0 and {words.replace('ln', '_ln')} >= {min_words}"
+        f"  group by _ln) "
+        f"select _id as {id_col}, "
+        f"string_agg(_ln, chr(10) order by _pos) as text_deduped "
+        f"from l left join firsts using (_ln) "
+        f"where _first is null "
+        f"   or (_first.fid = _id and _first.fpos = _pos) "
+        f"group by _id"
+    )

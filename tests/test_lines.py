@@ -1,0 +1,71 @@
+"""Line-level cleaning semantics (operators/lines.py)."""
+
+import duckdb
+import pandas as pd
+
+from social_media_pii_scrubber_spark.operators.lines import (
+    c4_line_filter_expr, c4_line_filter_sql, line_dedup, line_dedup_sql,
+)
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the shared boilerplate footer line.\nshort\nunique alpha content line one."),
+    (2, "the shared boilerplate footer line.\nunique beta content line two."),
+    (3, "short\nthe shared boilerplate footer line.\nunique gamma content line three."),
+    (4, ""),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(DOCS, columns=["doc_id", "text"]),
+        "doc_id long, text string")
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    got = {r.doc_id: r.text_deduped for r in
+           line_dedup(_df(spark), "text", "doc_id").collect()}
+    # doc 1 (lowest id) keeps the shared line; docs 2/3 lose it
+    assert got[1] == DOCS[0][1]
+    assert got[2] == "unique beta content line two."
+    # short lines pass through unconditionally
+    assert got[3] == "short\nunique gamma content line three."
+    assert got[4] == ""
+
+
+def test_line_dedup_within_doc_duplicates(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([(7, "same content line repeated here.\nmid line stays alone ok.\nsame content line repeated here.")],
+                     columns=["doc_id", "text"]),
+        "doc_id long, text string")
+    got = line_dedup(df, "text", "doc_id").collect()[0].text_deduped
+    assert got == "same content line repeated here.\nmid line stays alone ok."
+
+
+def test_line_dedup_matches_duckdb(spark):
+    spark_rows = {r.doc_id: r.text_deduped for r in
+                  line_dedup(_df(spark), "text", "doc_id").collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    duck = {int(r.doc_id): r.text_deduped for r in
+            con.sql(line_dedup_sql("t", "text", "doc_id")).df().itertuples()}
+    assert spark_rows == duck
+
+
+def test_c4_line_filter(spark):
+    text = ("good sentence with enough words.\n"
+            "no terminal punctuation here at all\n"
+            "short one.\n"
+            "Please accept our cookie policy today.\n"
+            "enable javascript to view this page.\n"
+            "function() { return 1; }\n"
+            "another fine long sentence stays!")
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [text]}),
+                               "doc_id long, text string")
+    got = df.select(c4_line_filter_expr(F.col("text")).alias("c")).collect()[0].c
+    assert got == ("good sentence with enough words.\n"
+                   "another fine long sentence stays!")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": [1], "text": [text]}))
+    duck = con.sql(f"select {c4_line_filter_sql('text')} as c from t").df().c[0]
+    assert duck == got

@@ -96,6 +96,12 @@ class TestScrubBank:
         ("by @handle99 done", "by {{HANDLE}} done"),
         ("ssn 123-45-6789 leaked", "ssn {{SSN}} leaked"),
         ("at 40.7128, -74.0060 nyc", "at {{GEO}} nyc"),
+        ("card 4111-1111-1111-1111 on file", "card {{CREDITCARD}} on file"),
+        ("pan 4111 1111 1111 1111 ok", "pan {{CREDITCARD}} ok"),
+        ("nic 00:1A:2b:3C:4d:5E up", "nic {{MAC}} up"),
+        ("iban DE44500105175407324931 paid", "iban {{IBAN}} paid"),
+        # a bare clock time is NOT a MAC (only 3 groups)
+        ("met at 10:11:12 sharp", "met at 10:11:12 sharp"),
         ("ip 10.0.0.1 here", "ip {{IP}} here"),
     ])
     def test_bank_python(self, text, expect):
@@ -143,4 +149,4 @@ class TestScrubProperties:
         # bank order is part of the contract (SURVEY.md F1)
         names = [n for n, _, _ in SCRUB_BANK]
         assert names == ["timestamp", "url", "email", "handle", "ssn",
-                         "phone", "ip", "geo"]
+                         "creditcard", "phone", "ip", "mac", "geo", "iban"]
