@@ -131,6 +131,22 @@ def main() -> None:
         emb, "embedding", "vec_id", n_planes=8, n_tables=4, dim=64))
     timings["q6b_embedding_lsh_amplified"] = t() - t0
 
+    # q8: line-level cleaning at corpus scale — C4 line filter (pure
+    # codegen, no shuffle) then corpus-global line dedup (one line
+    # shuffle + per-doc reassembly) over the 1M-page web corpus
+    from social_media_pii_scrubber_spark.operators.lines import (
+        c4_line_filter_expr, line_dedup,
+    )
+    t0 = t()
+    lined = pages.select(
+        "url", F.regexp_replace("text", r" the ", "\nthe ").alias("lined"))
+    _count(lined.select(c4_line_filter_expr(F.col("lined")).alias("c"))
+           .filter("c != ''"))
+    timings["q8_c4_line_filter"] = t() - t0
+    t0 = t()
+    _count(line_dedup(lined, "lined", "url"))
+    timings["q8b_line_dedup"] = t() - t0
+
     # q7: relational mix — join + agg + window over tpch-ish tables
     t0 = t()
     j = (

@@ -159,3 +159,21 @@ def test_column_only_pipeline_no_python(spark, sf_dir):
     df = filter_scrub_pipeline(pages, CFG, use_model_udfs=False).df
     p = plan_of(df)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_line_dedup_partial_agg_no_cartesian(spark, sf_dir):
+    """line_dedup's first-occurrence aggregate must partial-combine
+    map-side (partial_min before the line exchange — a line repeated
+    10^6 times sends one candidate per task, not 10^6 rows), and the
+    join back must never degenerate to a cartesian product."""
+    from social_media_pii_scrubber_spark.operators.lines import line_dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.regexp_replace("text", r" the ", "\nthe ").alias("t"))
+    df = line_dedup(docs, "t", "doc_id")
+    df.collect()  # AQE finalizes
+    p = plan_of(df)
+    assert "partial_min" in p, p[:3000]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
