@@ -19,8 +19,17 @@ from social_media_pii_scrubber_spark.functions import quality as Q
 from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
 from social_media_pii_scrubber_spark.functions import toxicity as TX
+from social_media_pii_scrubber_spark.functions import urls as U
+from social_media_pii_scrubber_spark.operators import lines as LN
 
 FRAGMENTS = [
+    # url-canonicalization adversaries (tracking-param boundary cases)
+    "https://ex.com/p?pref=dark&x=1", "https://ex.com/p?href=abc",
+    "HTTPS://Host.EX/p?utm_source=a&ref=hn#frag", "http://h/?a=1&&b=2&",
+    # line-operator adversaries
+    "good line with enough words.\nshort\nenable javascript now please.",
+    "Accept our cookie policy today!\nreal sentence with five words.",
+    "dup line stays here once.\ndup line stays here once.",
     "user_1@a-b.co", "@@handle", "a@b", "x@y.z.museum", "+1 (212) 555-0199",
     "1-555-123-4567x", "2024-12-31T23:59", "2024-13-45", "999.999.999.999",
     "0.0.0.0", "-91.123456, 181.000001", "https://a/%20b?c=d#e", "http://",
@@ -65,6 +74,8 @@ def test_all_twins_agree(spark, corpora):
         Q.repetition_keep_expr(F.col("t")).alias("rkeep"),
         TX.toxicity_score_expr(F.col("t")).alias("tox"),
         TX.toxicity_scrub_expr(F.col("t")).alias("toxs"),
+        U.url_canonicalize_expr(F.col("t")).alias("urlc"),
+        LN.c4_line_filter_expr(F.col("t")).alias("c4l"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -81,7 +92,9 @@ def test_all_twins_agree(spark, corpora):
         f"{Q.bullet_line_fraction_sql('t')} as blf, "
         f"{Q.repetition_keep_sql('t')} as rkeep, "
         f"{TX.toxicity_score_sql('t')} as tox, "
-        f"{TX.toxicity_scrub_sql('t')} as toxs from tt"
+        f"{TX.toxicity_scrub_sql('t')} as toxs, "
+        f"{U.url_canonicalize_sql('t')} as urlc, "
+        f"{LN.c4_line_filter_sql('t')} as c4l from tt"
     ).df()
 
     for col in sp.columns:
