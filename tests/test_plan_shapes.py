@@ -171,9 +171,21 @@ def test_line_dedup_partial_agg_no_cartesian(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.regexp_replace("text", r" the ", "\nthe ").alias("t"))
-    df = line_dedup(docs, "t", "doc_id")
-    df.collect()  # AQE finalizes
-    p = plan_of(df)
-    assert "partial_min" in p, p[:3000]
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    # pin the AT-SCALE topology: at web scale the first-occurrence side
+    # is corpus-sized and can never broadcast, so assert the reuse shape
+    # with broadcast disabled (at small scale AQE broadcasting it
+    # instead is fine and covered by the oracle entry)
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = line_dedup(docs, "t", "doc_id")
+        df.collect()  # AQE finalizes
+        p = plan_of(df)
+        assert "partial_min" in p, p[:3000]
+        # the single line-key exchange must be REUSED by the join probe
+        # side (same topology as the LSH self-join), not built twice
+        assert "ReusedExchange" in p, p[:3000]
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
