@@ -596,6 +596,68 @@ def q_c4_line_filter(spark, sf):
     )
 
 
+def q_web_preprocess(spark, sf):
+    """The full web-preprocess chain in ONE query — the composition a
+    RefinedWeb/C4-style pipeline actually runs, each stage an already
+    gate-verified operator:
+
+        url variants (planted: every doc_id%10==0 page carries the
+        PREVIOUS doc's url + '#dup' + a tracking param, so canonical
+        collisions exist by construction)
+          → url_canonicalize
+          → url-level exact dedup (keep min doc_id per canonical url)
+          → C4 line filter
+          → quality keep
+          → PII scrub bank
+
+    Both engines derive the plantings from doc_id, so the whole chain
+    is value-checked end to end."""
+    _pin_session(spark)
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    host = (i % 37).cast("string")
+    prev_host = ((i - 1) % 37).cast("string")
+    own = F.concat(F.lit("https://host"), host, F.lit(".example/doc/"),
+                   i.cast("string"))
+    dup = F.concat(F.lit("https://host"), prev_host, F.lit(".example/doc/"),
+                   (i - 1).cast("string"), F.lit("?utm_source=mirror#dup"))
+    url = F.when((i % 10 == 0) & (i > 0), dup).otherwise(own)
+    lined = F.regexp_replace(F.col("text"), r" the ", "\nthe ")
+    rows = d.select(
+        i.alias("doc_id"),
+        U.url_canonicalize_expr(url).alias("canonical_url"),
+        lined.alias("lined"),
+    )
+    first = rows.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
+    kept = rows.join(first, on=["canonical_url", "doc_id"])
+    return kept.select(
+        "doc_id",
+        "canonical_url",
+        Q.keep_expr(F.col("lined")).alias("keep_quality"),
+        S.scrub_bank_expr(
+            LN.c4_line_filter_expr(F.col("lined"))).alias("clean_text"),
+    )
+
+
+def _web_preprocess_sql() -> str:
+    own = "'https://host' || cast(doc_id % 37 as varchar) || '.example/doc/' || cast(doc_id as varchar)"
+    dup = ("'https://host' || cast((doc_id - 1) % 37 as varchar) || '.example/doc/' "
+           "|| cast(doc_id - 1 as varchar) || '?utm_source=mirror#dup'")
+    url = f"(case when doc_id % 10 = 0 and doc_id > 0 then {dup} else {own} end)"
+    lined = "regexp_replace(text, ' the ', chr(10) || 'the ', 'g')"
+    return (
+        f"with rows as (select doc_id, "
+        f"{U.url_canonicalize_sql(url)} as canonical_url, "
+        f"{lined} as lined from documents), "
+        f"first as (select canonical_url, min(doc_id) as doc_id "
+        f"from rows group by canonical_url) "
+        f"select doc_id, canonical_url, "
+        f"{Q.keep_sql('lined')} as keep_quality, "
+        f"{S.scrub_bank_sql(LN.c4_line_filter_sql('lined'))} as clean_text "
+        f"from rows join first using (canonical_url, doc_id)"
+    )
+
+
 _STREAM_GATE_SEQ = [0]
 
 
@@ -1116,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "c4_line_filter": q_c4_line_filter,
         "pii_coverage_ext": q_pii_coverage_ext,
+        "web_preprocess": q_web_preprocess,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
         "perplexity_udf": q_perplexity_udf,
@@ -1320,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pii_coverage": _pii_coverage_sql(),
         "pii_coverage_ext": _pii_coverage_ext_sql(),
+        "web_preprocess": _web_preprocess_sql(),
         "ner_coverage": _ner_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "full_quality_gate": (
