@@ -5,9 +5,12 @@ family: those catch copies, tf-idf catches topical similarity. The
 physical pattern is the one production sparse-similarity jobs use:
 
 - ``tf_idf`` — (id, term, weight) long-form vectors: one explode, one
-  (id, term) partial-agg count, one ≤|vocab|-row docfreq agg broadcast
-  back. No driver collect; corpus size N rides along as a broadcast
-  1-row frame.
+  (id, term) partial-agg count, one docfreq agg joined back on term.
+  The docfreq join is deliberately NOT hint-broadcast: the vocabulary
+  of a 10^12-doc web corpus (typos, ids, urls-as-tokens) is billions of
+  terms — AQE broadcasts it when genuinely small and shuffle-joins
+  otherwise (the term shuffle exists in the pair join anyway). No
+  driver collect; corpus size N rides along as a broadcast 1-row frame.
 - ``tfidf_similar_pairs`` — pairs by joining the long form with itself
   ON TERM (the inverted index): per-term posting lists multiply, so the
   quadratic term is Σ df_t² — bounded by ``max_df_fraction``, which
@@ -39,7 +42,7 @@ def tf_idf(df: DataFrame, text_col: str, id_col: str,
         .crossJoin(F.broadcast(n))
         .filter(F.col("df_t") <= F.col("_n") * max_df_fraction)
     )
-    return tc.join(F.broadcast(docfreq), on="term").select(
+    return tc.join(docfreq, on="term").select(
         F.col(id_col), "term",
         F.round(F.col("tf") * F.log(F.col("_n") / F.col("df_t")), 6).alias("tfidf"),
     )
