@@ -1150,6 +1150,22 @@ def q_media_scrub_hex(spark, sf):
     )
 
 
+def q_media_features(spark, sf):
+    """Multimodal feature extraction (binary → fixed-dim vector) with
+    per-element rounding so the float array is hash-stable; value-
+    checked against the driver-side fixture (plumbing-level scope, like
+    media_scrub_hex)."""
+    from social_media_pii_scrubber_spark.operators.media import extract_features
+
+    _pin_session(spark)
+    out = extract_features(webpages_from_documents(spark, sf))
+    return out.select(
+        "url",
+        F.transform(F.col("features"),
+                    lambda x: F.round(x.cast("double"), 6)).alias("features"),
+    )
+
+
 def q_clean_text_udf(spark, sf):
     from social_media_pii_scrubber_spark.config import FIXTURE_CONFIG
     _pin_session(spark)
@@ -1184,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_udf": q_perplexity_udf,
         "media_scrub_hex": q_media_scrub_hex,
         "media_scrub": q_media_scrub,
+        "media_features": q_media_features,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "ann_amp_topk": q_ann_amp_topk,
@@ -1596,5 +1613,8 @@ def oracle_sql() -> dict[str, str]:
         "media_scrub_hex": OF.fixture_sql(
             OF.ensure_media_scrub_fixture, ORACLE_SF,
             "url, scrubbed_hex, width, height, status",
+        ),
+        "media_features": OF.fixture_sql(
+            OF.ensure_media_features_fixture, ORACLE_SF, "url, features",
         ),
     }

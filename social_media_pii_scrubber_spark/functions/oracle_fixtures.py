@@ -128,6 +128,45 @@ def ensure_media_scrub_fixture(sf_dir: str) -> str:
     return path
 
 
+def ensure_media_features_fixture(sf_dir: str) -> str:
+    """(url, features rounded to 6dp) via the same byte-histogram kernel
+    applied driver-side to the DuckDB-rendered html blobs — like
+    media_scrub: validates the mapInPandas plumbing and the html
+    synthesis twins (plumbing-level scope, kernel shared by design)."""
+    import duckdb
+    import numpy as np
+
+    from ..operators.media import FEATURE_DIM
+    from ..sources.webpages import webpages_from_documents_sql
+
+    path = os.path.join(FIXTURE_DIR,
+                        f"media_features_{_source_key(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        con = duckdb.connect()
+        con.sql(
+            f"create view documents as select * from '{sf_dir}/documents.parquet'"
+        )
+        pages = con.sql(
+            "select url, html from (" + webpages_from_documents_sql() + ")"
+        ).df()
+
+        import math
+
+        def feats(blob):
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+            total = max(int(hist.sum()), 1)
+            # HALF_UP to match Spark's round() (Python round is
+            # round-half-even); values are non-negative fractions
+            return [math.floor(float(x) * 1e6 + 0.5) / 1e6
+                    for x in (hist / total).astype("float32")]
+
+        pages["features"] = pages.html.map(feats)
+        _atomic_write_parquet(pages[["url", "features"]], path)
+    return path
+
+
 def ensure_clean_text_fixture(sf_dir: str) -> str:
     """(url, cleaned) via driver-side clean_text over the DuckDB-rendered
     webpages CTE (independent of the Spark page synthesis)."""
