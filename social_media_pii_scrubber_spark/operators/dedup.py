@@ -45,6 +45,23 @@ SIMHASH_BITS = 16      # md5-parity oracle profile (max 32: md5 hex width)
 SIMHASH_FAST_BITS = 64 # xxhash64 production profile
 
 
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None
+                           ) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than cores.
+
+    CPU-heavy per-row stages (128-hash minhash, simhash) inherit the
+    scan's split count; a small dimension-sized table arrives as 1-2
+    splits and would serialize on one core. At 100-TB scale inputs have
+    splits >> cores and this is a no-op — the check keeps the adaptive
+    behavior from ever adding a corpus-wide shuffle where it isn't
+    needed."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --- exact dedup ------------------------------------------------------------
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -118,7 +135,7 @@ def minhash_signature(df: DataFrame, text_col: str, id_col: str,
     exchange. Docs shorter than the shingle width get a NULL signature
     (array_min of empty ≡ min over no rows).
     """
-    toks = df.select(
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode_outer(shingles_expr(F.col(text_col))).alias("sh"),
     )
@@ -210,16 +227,21 @@ def lsh_candidate_pairs_fast(df: DataFrame, text_col: str, id_col: str,
 
     Same topology as ``lsh_candidate_pairs``; the signature aggregation
     and band keys use 64-bit xxhash (whole-stage codegen, no hex-string
-    materialization) — the version you run on 100 TB. Defaults to the
-    PRODUCTION width (128 hashes / 16 bands): recall at J=0.85 is
-    measured ≥0.9 by tests/test_dedup_recall.py.
+    materialization) — the version you run on 100 TB. Two further
+    at-scale economies: each shingle STRING is hashed exactly once
+    (``h = xxhash64(sh)``) and the k minhashes derive from the fixed
+    12-byte ``xxhash64(seed, h)`` — k string re-hashes were ~10% of the
+    operator; and the doc side is adaptively repartitioned so a
+    few-split input doesn't serialize the 128-hash aggregate on one
+    core. Defaults to the PRODUCTION width (128 hashes / 16 bands):
+    recall at J=0.85 is measured ≥0.9 by tests/test_dedup_recall.py.
     """
-    toks = df.select(
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode_outer(shingles_expr(F.col(text_col))).alias("sh"),
-    )
+    ).withColumn("h", F.xxhash64(F.col("sh")))
     aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.col("sh"))).alias(f"mh_{seed}")
+        F.min(F.xxhash64(F.lit(seed), F.col("h"))).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
     sig = toks.groupBy(id_col).agg(*aggs)
@@ -377,7 +399,7 @@ def simhash_signature_fast(df: DataFrame, text_col: str, id_col: str,
     `bits` shiftright/sum aggregates (all whole-stage codegen) →
     assemble the bigint. Near-dup distance = bit_count(a XOR b).
     """
-    toks = df.select(
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
