@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import ensure_min_parallelism
+
 # SMALL ORACLE PROFILE ONLY: 4 coordinate-difference hyperplanes → 16
 # buckets, trivially SQL-portable. The at-scale path is the parameterized
 # seed-derived Gaussian planes below (make_tables /
@@ -65,7 +67,9 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
+    # adaptive: a single-file embeddings table must not serialize the
+    # dot-product scan on one core (no-op when splits >= cores)
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
     )
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -126,7 +130,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
         F.col(vec_col).alias("qvec"),
         lsh_bucket_expr(F.col(vec_col)).alias("bucket"),
     )
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
         lsh_bucket_expr(F.col(vec_col)).alias("bucket"),
@@ -264,6 +268,7 @@ def embedding_dup_pairs_amplified(
     n_tables to recall; ``tests/test_similarity_recall.py`` measures it.
     """
     tables = make_tables(n_planes, n_tables, dim, seed)
+    df = ensure_min_parallelism(df)  # bucket matmul parallelism
     tagged = _tagged_buckets(df, id_col, vec_col, tables, use_udf) \
         .drop(vec_col).repartition("tbl", "bucket")
     left, right = tagged.alias("l"), tagged.alias("r")
@@ -322,7 +327,8 @@ def ann_topk_amplified(
     tables = make_tables(n_planes, n_tables, dim, seed)
     q = _tagged_buckets(queries, id_col, vec_col, tables, use_udf) \
         .withColumnRenamed(id_col, "query_id").withColumnRenamed(vec_col, "qvec")
-    c = _tagged_buckets(corpus, id_col, vec_col, tables, use_udf) \
+    c = _tagged_buckets(ensure_min_parallelism(corpus), id_col, vec_col,
+                        tables, use_udf) \
         .withColumnRenamed(id_col, "match_id").withColumnRenamed(vec_col, "cvec")
     cand = (
         c.join(F.broadcast(q), on=["tbl", "bucket"])
