@@ -213,3 +213,19 @@ class TestMedia:
         monkeypatch.setitem(sys.modules, "PIL", None)  # forces ImportError
         monkeypatch.setattr(media, "_DECODER_CACHE", {})
         assert media._get_decoder().status == "ok"
+
+
+class TestEnsureMinParallelism:
+    def test_widens_single_partition_and_nops_when_wide(self, spark):
+        from social_media_pii_scrubber_spark.operators.dedup import (
+            ensure_min_parallelism,
+        )
+        cores = spark.sparkContext.defaultParallelism
+        narrow = spark.range(0, 1000, 1, 1)
+        widened = ensure_min_parallelism(narrow)
+        assert widened.rdd.getNumPartitions() >= min(cores, 2)
+        assert widened.count() == 1000
+        wide = spark.range(0, 1000, 1, cores + 4)
+        same = ensure_min_parallelism(wide)
+        # already-parallel input must NOT pick up a repartition
+        assert same.rdd.getNumPartitions() == cores + 4
