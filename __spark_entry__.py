@@ -596,6 +596,31 @@ def q_c4_line_filter(spark, sf):
     )
 
 
+# fixed 30-token boilerplate planted verbatim on doc_id%6==0 so the
+# substring-dup detector has known all-duplicate docs in both engines
+_BOILER = ("all rights reserved contact the site administrator for removal "
+           "requests this page is archived content from the original source "
+           "and may not reflect current information please see terms")
+
+
+def q_substring_dup(spark, sf):
+    """Exact-substring duplication stats (Lee et al. 2022 detection
+    shape): strided token-window hashes, one occurrence-count shuffle,
+    per-doc duplicated-window fraction. Planted boilerplate docs must
+    come back dup_fraction=1.0 in both engines."""
+    _pin_session(spark)
+    d = _t(spark, sf, "documents")
+    t = F.when(F.col("doc_id") % 6 == 0, F.lit(_BOILER)).otherwise(F.col("text"))
+    return DD.substring_dup_stats(
+        d.select("doc_id", t.alias("t2")), "t2", "doc_id")
+
+
+def _substring_dup_sql() -> str:
+    t = (f"(select doc_id, case when doc_id % 6 = 0 then '{_BOILER}' "
+         f"else text end as t2 from documents)")
+    return DD.substring_dup_stats_sql(t, "t2", "doc_id")
+
+
 def q_web_preprocess(spark, sf):
     """The full web-preprocess chain in ONE query — the composition a
     RefinedWeb/C4-style pipeline actually runs, each stage an already
@@ -1195,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filter": q_c4_line_filter,
         "pii_coverage_ext": q_pii_coverage_ext,
         "web_preprocess": q_web_preprocess,
+        "substring_dup": q_substring_dup,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
         "perplexity_udf": q_perplexity_udf,
@@ -1401,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_coverage": _pii_coverage_sql(),
         "pii_coverage_ext": _pii_coverage_ext_sql(),
         "web_preprocess": _web_preprocess_sql(),
+        "substring_dup": _substring_dup_sql(),
         "ner_coverage": _ner_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "full_quality_gate": (

@@ -438,3 +438,74 @@ def simhash_signature_sql(table_sql: str, text_col: str, id_col: str,
         f"agg as (select {id_col}, {votes} from toks group by {id_col}) "
         f"select {id_col}, {bit_chars} as simhash from agg"
     )
+
+
+# --- exact-substring duplication (Lee et al., 2022) --------------------------
+# "Deduplicating Training Data Makes Language Models Better" removes
+# repeated ~50-token substrings corpus-wide. The distributed detection
+# shape: hash fixed-size token windows (strided), ONE shuffle counting
+# window occurrences (partial-agg'd — a boilerplate window repeated
+# 10^6 times sends one candidate per map task), join back, and report
+# the per-doc fraction of windows that are duplicated anywhere in the
+# corpus (including within the same doc — self-repetition is the same
+# signal). The fraction drives drop/trim policy downstream.
+
+SUBSTR_WINDOW = 10     # tokens per window (paper uses ~50; gate corpus is short)
+SUBSTR_STRIDE = 5      # window start stride
+
+
+def _window_hashes_expr(text: Column, window: int, stride: int) -> Column:
+    """Array of md5 hashes of strided token windows (portable)."""
+    w = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(w)
+    starts = F.sequence(F.lit(1), n - (window - 1), F.lit(stride))
+    hashes = F.transform(
+        starts, lambda i: F.md5(F.array_join(F.slice(w, i, window), " ")
+                                .cast("binary"))
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(n >= window, hashes).otherwise(empty)
+
+
+def substring_dup_stats(df: DataFrame, text_col: str, id_col: str,
+                        window: int = SUBSTR_WINDOW,
+                        stride: int = SUBSTR_STRIDE) -> DataFrame:
+    """(id, n_windows, dup_windows, dup_fraction) per doc with >=1 window."""
+    wins = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.explode(_window_hashes_expr(F.col(text_col), window, stride)
+                  ).alias("wh"),
+    )
+    counts = wins.groupBy("wh").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        wins.join(counts, on="wh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum((F.col("occ") > 1).cast("bigint")).alias("dup_windows"),
+        )
+        .select(
+            F.col(id_col), "n_windows", "dup_windows",
+            F.round(F.col("dup_windows") / F.col("n_windows"), 6
+                    ).alias("dup_fraction"),
+        )
+    )
+
+
+def substring_dup_stats_sql(table_sql: str, text_col: str, id_col: str,
+                            window: int = SUBSTR_WINDOW,
+                            stride: int = SUBSTR_STRIDE) -> str:
+    toks = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    return (
+        f"with s as (select {id_col}, {toks} as w from {table_sql}), "
+        f"starts as (select {id_col}, w, unnest(range(1, len(w) - {window - 1} + 1, {stride})) as i"
+        f"  from s where len(w) >= {window}), "
+        f"wins as (select {id_col}, "
+        f"  md5(array_to_string(list_slice(w, i, i + {window - 1}), ' ')) as wh"
+        f"  from starts), "
+        f"counts as (select wh, count(*) as occ from wins group by wh) "
+        f"select {id_col}, cast(count(*) as bigint) as n_windows, "
+        f"cast(sum(case when occ > 1 then 1 else 0 end) as bigint) as dup_windows, "
+        f"round(sum(case when occ > 1 then 1 else 0 end) * 1.0 / count(*), 6) as dup_fraction "
+        f"from wins join counts using (wh) group by {id_col}"
+    )

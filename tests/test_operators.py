@@ -229,3 +229,34 @@ class TestEnsureMinParallelism:
         same = ensure_min_parallelism(wide)
         # already-parallel input must NOT pick up a repartition
         assert same.rdd.getNumPartitions() == cores + 4
+
+
+class TestSubstringDup:
+    def test_planted_identical_docs_fully_duplicated(self, spark):
+        from social_media_pii_scrubber_spark.operators.dedup import (
+            substring_dup_stats,
+        )
+        boiler = " ".join(f"tok{i}" for i in range(30))
+        uniq = " ".join(f"only{i}" for i in range(30))
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [boiler, boiler, uniq, "too short"],
+        }), "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               substring_dup_stats(df, "text", "doc_id").collect()}
+        assert got[1].dup_fraction == 1.0 and got[2].dup_fraction == 1.0
+        assert got[3].dup_fraction == 0.0
+        assert 4 not in got  # below one window: no row
+        assert got[1].n_windows == got[2].n_windows > 0
+
+    def test_within_doc_repetition_counts(self, spark):
+        from social_media_pii_scrubber_spark.operators.dedup import (
+            substring_dup_stats,
+        )
+        span = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [9], "text": [span + " " + span]}),
+            "doc_id long, text string")
+        r = substring_dup_stats(df, "text", "doc_id").collect()[0]
+        # windows at strides 1 and 11 are the identical span
+        assert r.dup_windows >= 2
