@@ -621,6 +621,45 @@ def _substring_dup_sql() -> str:
     return DD.substring_dup_stats_sql(t, "t2", "doc_id")
 
 
+def q_incremental_dedup(spark, sf):
+    """Cross-snapshot incremental dedup — the rolling-crawl workflow:
+    keep only NEW-snapshot docs whose fingerprint never appeared in the
+    PREVIOUS snapshot. Snapshots are doc_id residues; planted _BOILER
+    texts collide across snapshots so the anti-join provably removes
+    rows. Plain left_anti (NOT the broadcast helper): a previous
+    snapshot's fingerprint set is corpus-sized at web scale — AQE
+    broadcasts only when genuinely small, and for repeated rolling runs
+    both sides bucket on fp (sources.tables.write_bucketed)."""
+    _pin_session(spark)
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    prev = d.filter(i % 3 != 0).select(
+        F.when(i % 9 == 1, F.lit(_BOILER)).otherwise(F.col("text")).alias("t"))
+    new = d.filter(i % 3 == 0).select(
+        "doc_id",
+        F.when(i % 9 == 0, F.lit(_BOILER)).otherwise(F.col("text")).alias("t"))
+    prev_fp = prev.select(T.fingerprint_expr(F.col("t")).alias("fp")).distinct()
+    return (
+        new.withColumn("fp", T.fingerprint_expr(F.col("t")))
+        .join(prev_fp, on="fp", how="left_anti")
+        .select("doc_id", "fp")
+    )
+
+
+def _incremental_dedup_sql() -> str:
+    fp = T.fingerprint_sql("t")
+    prev = (f"select case when doc_id % 9 = 1 then '{_BOILER}' else text end"
+            f" as t from documents where doc_id % 3 != 0")
+    new = (f"select doc_id, case when doc_id % 9 = 0 then '{_BOILER}' else"
+           f" text end as t from documents where doc_id % 3 = 0")
+    return (
+        f"with prev as ({prev}), new as ({new}), "
+        f"prev_fp as (select distinct {fp} as fp from prev) "
+        f"select doc_id, {fp} as fp from new "
+        f"where {fp} not in (select fp from prev_fp)"
+    )
+
+
 def q_web_preprocess(spark, sf):
     """The full web-preprocess chain in ONE query — the composition a
     RefinedWeb/C4-style pipeline actually runs, each stage an already
@@ -1221,6 +1260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_coverage_ext": q_pii_coverage_ext,
         "web_preprocess": q_web_preprocess,
         "substring_dup": q_substring_dup,
+        "incremental_dedup": q_incremental_dedup,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
         "perplexity_udf": q_perplexity_udf,
@@ -1428,6 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_coverage_ext": _pii_coverage_ext_sql(),
         "web_preprocess": _web_preprocess_sql(),
         "substring_dup": _substring_dup_sql(),
+        "incremental_dedup": _incremental_dedup_sql(),
         "ner_coverage": _ner_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "full_quality_gate": (
