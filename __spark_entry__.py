@@ -621,6 +621,15 @@ def _substring_dup_sql() -> str:
     return DD.substring_dup_stats_sql(t, "t2", "doc_id")
 
 
+def q_ivf_topk(spark, sf):
+    """IVF-Flat ANN (coarse-quantizer cells, multi-probe): the second
+    ANN family next to hyperplane LSH; probe=2 of 8 cells. Fixed
+    deterministic centroids keep the full operator oracle-checkable."""
+    e = _t(spark, sf, "embeddings")
+    return SIM.ivf_topk(e, e.filter(F.col("vec_id") < 3), "vec_id",
+                        "embedding", k=5, n_cells=8, probe=2)
+
+
 def q_incremental_dedup(spark, sf):
     """Cross-snapshot incremental dedup — the rolling-crawl workflow:
     keep only NEW-snapshot docs whose fingerprint never appeared in the
@@ -1261,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_preprocess": q_web_preprocess,
         "substring_dup": q_substring_dup,
         "incremental_dedup": q_incremental_dedup,
+        "ivf_topk": q_ivf_topk,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
         "perplexity_udf": q_perplexity_udf,
@@ -1469,6 +1479,10 @@ def oracle_sql() -> dict[str, str]:
         "web_preprocess": _web_preprocess_sql(),
         "substring_dup": _substring_dup_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
+        "ivf_topk": SIM.ivf_topk_sql(
+            "embeddings", "vec_id < 3", "vec_id", "embedding",
+            k=5, n_cells=8, probe=2,
+        ),
         "ner_coverage": _ner_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "full_quality_gate": (

@@ -397,3 +397,119 @@ def lsh_topk_sql(corpus_sql: str, query_pred: str, id_col: str,
         f"  order by cosine desc, match_id asc) as rk from scored) "
         f"select query_id, match_id, cosine, rk from ranked where rk <= {k}"
     )
+
+
+# --- IVF (inverted-file) ANN -------------------------------------------------
+# The coarse-quantizer ANN family (FAISS-style IVF-Flat): assign every
+# vector to its nearest centroid cell, search only the query's top
+# ``probe`` cells. Centroids here are FIXED deterministic Gaussian
+# vectors (make_hyperplanes seed family) rather than k-means-trained —
+# that keeps the whole operator expressible in BOTH engines (the oracle
+# value-checks assignment + probing + ranking end to end); swapping in
+# trained centroids is a drop-in list-of-lists replacement and changes
+# recall, not topology. 100-TB shape: cell assignment is a per-row
+# argmax over n_cells dots (codegen, no shuffle); the probe join
+# partitions the corpus by cell — the natural partition/pruning key —
+# and the query side is broadcast (queries are small by contract).
+
+
+def make_centroids(n_cells: int, dim: int, seed: int = 977) -> list[list[float]]:
+    return make_hyperplanes(n_cells, dim, seed)
+
+
+def _lit_dot_expr(v: Column, vec: list[float]) -> Column:
+    lit = F.array(*[F.lit(w) for w in vec]).cast("array<double>")
+    return F.aggregate(F.zip_with(v, lit, lambda x, y: x * y),
+                       F.lit(0.0), lambda a, x: a + x)
+
+
+def _lit_dot_sql(v: str, vec: list[float]) -> str:
+    lit = "[" + ", ".join(repr(w) for w in vec) + "]::double[]"
+    return f"list_sum(list_transform(list_zip({v}, {lit}), p -> p[1] * p[2]))"
+
+
+def ivf_cell_dots_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    v = _as_double(vec)
+    return F.array(*[_lit_dot_expr(v, c) for c in centroids])
+
+
+def ivf_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based cell id: argmax centroid dot (first max wins the tie in
+    both engines)."""
+    dots = ivf_cell_dots_expr(vec, centroids)
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_cell_sql(vec: str, centroids: list[list[float]]) -> str:
+    dv = f"list_transform({vec}, x -> cast(x as double))"
+    dots = "[" + ", ".join(_lit_dot_sql(dv, c) for c in centroids) + "]"
+    return f"cast(list_position({dots}, list_max({dots})) as int)"
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
+             vec_col: str, k: int = 5, n_cells: int = 8, probe: int = 2,
+             dim: int = 64, seed: int = 977) -> DataFrame:
+    """IVF ANN top-k: rank only within the query's ``probe`` best cells.
+
+    probe == n_cells degenerates to exact brute force (tested); smaller
+    probe trades recall for touching ~probe/n_cells of the corpus.
+    Output schema matches cosine_topk."""
+    cents = make_centroids(n_cells, dim, seed)
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("cvec"),
+        ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
+    )
+    qd = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.posexplode(ivf_cell_dots_expr(F.col(vec_col), cents)
+                     ).alias("ci", "dot"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("dot").desc(), F.col("ci").asc())
+    qcells = (
+        qd.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= probe)
+        .select("query_id", "qvec", (F.col("ci") + 1).cast("int").alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(qcells), on="cell")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id",
+                cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "match_id", "cosine", "rk")
+    )
+
+
+def ivf_topk_sql(corpus_sql: str, query_pred: str, id_col: str,
+                 vec_col: str, k: int = 5, n_cells: int = 8, probe: int = 2,
+                 dim: int = 64, seed: int = 977) -> str:
+    cents = make_centroids(n_cells, dim, seed)
+    dv = f"list_transform({vec_col}, x -> cast(x as double))"
+    dots = "[" + ", ".join(_lit_dot_sql(dv, c) for c in cents) + "]"
+    cos = cosine_sql("q.qvec", "c.cvec")
+    return (
+        f"with src as (select * from {corpus_sql}), "
+        f"qd0 as (select {id_col} as query_id, {vec_col} as qvec, "
+        f"  {dots} as dots from src where {query_pred}), "
+        f"qe as (select query_id, qvec, "
+        f"  unnest(generate_series(1, {n_cells})) as cell, dots from qd0), "
+        f"qd as (select query_id, qvec, cell, dots[cell] as dot, "
+        f"  row_number() over (partition by query_id "
+        f"    order by dots[cell] desc, cell asc) as r from qe), "
+        f"q as (select query_id, qvec, cell from qd where r <= {probe}), "
+        f"c as (select {id_col} as match_id, {vec_col} as cvec, "
+        f"  {ivf_cell_sql(vec_col, cents)} as cell from src), "
+        f"scored as (select query_id, match_id, {cos} as cosine "
+        f"  from c join q using (cell) where query_id != match_id), "
+        f"ranked as (select *, row_number() over (partition by query_id "
+        f"  order by cosine desc, match_id asc) as rk from scored) "
+        f"select query_id, match_id, cosine, rk from ranked where rk <= {k}"
+    )

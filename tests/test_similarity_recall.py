@@ -114,3 +114,37 @@ def test_amplified_sql_twin_matches(planted, spark):
         (int(a), int(b), float(c)) for a, b, c in con.sql(sql).fetchall()
     )
     assert got == want
+
+
+class TestIVF:
+    def test_full_probe_equals_brute_force(self, spark, sf_dir):
+        """probe == n_cells must degenerate to exact brute-force top-k."""
+        from pyspark.sql import functions as F
+
+        from social_media_pii_scrubber_spark.operators.similarity import (
+            cosine_topk, ivf_topk,
+        )
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 3)
+        brute = {(r.query_id, r.rk): r.match_id for r in
+                 cosine_topk(e, q, "vec_id", "embedding", k=5).collect()}
+        full = {(r.query_id, r.rk): r.match_id for r in
+                ivf_topk(e, q, "vec_id", "embedding", k=5,
+                         n_cells=8, probe=8).collect()}
+        assert full == brute
+
+    def test_partial_probe_is_subset_quality(self, spark, sf_dir):
+        """probe < n_cells: results exist, cosines never beat brute best."""
+        from pyspark.sql import functions as F
+
+        from social_media_pii_scrubber_spark.operators.similarity import (
+            cosine_topk, ivf_topk,
+        )
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") == 0)
+        ann = ivf_topk(e, q, "vec_id", "embedding", k=3,
+                       n_cells=8, probe=2).collect()
+        assert 0 < len(ann) <= 3
+        brute_best = cosine_topk(e, q, "vec_id", "embedding",
+                                 k=1).collect()[0].cosine
+        assert all(r.cosine <= brute_best for r in ann)
