@@ -621,6 +621,18 @@ def _substring_dup_sql() -> str:
     return DD.substring_dup_stats_sql(t, "t2", "doc_id")
 
 
+def q_kmeans_centroids(spark, sf):
+    """Iterative k-means centroid training (Lloyd, 3 iterations) as
+    DataFrame aggregations; value-checked against an independent numpy
+    replication (no SQL rendering exists for an iterative loop)."""
+    _pin_session(spark)
+    e = _t(spark, sf, "embeddings")
+    cents = SIM.kmeans_train(e, "embedding", n_cells=4, dim=64, iters=3)
+    rows = [(i + 1, [round(float(x), 4) for x in c])
+            for i, c in enumerate(cents)]
+    return spark.createDataFrame(rows, "cell int, centroid array<double>")
+
+
 def q_ivf_topk(spark, sf):
     """IVF-Flat ANN (coarse-quantizer cells, multi-probe): the second
     ANN family next to hyperplane LSH; probe=2 of 8 cells. Fixed
@@ -1271,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup": q_substring_dup,
         "incremental_dedup": q_incremental_dedup,
         "ivf_topk": q_ivf_topk,
+        "kmeans_centroids": q_kmeans_centroids,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
         "perplexity_udf": q_perplexity_udf,
@@ -1698,5 +1711,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_features": OF.fixture_sql(
             OF.ensure_media_features_fixture, ORACLE_SF, "url, features",
+        ),
+        "kmeans_centroids": OF.fixture_sql(
+            OF.ensure_kmeans_fixture, ORACLE_SF, "cell, centroid",
         ),
     }

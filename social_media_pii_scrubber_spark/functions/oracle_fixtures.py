@@ -40,7 +40,7 @@ FIXTURE_DIR = os.path.join(
 # Bump when the semantics of any fixture-backed function change (e.g.
 # the NER lexicon/rules): the key below includes it, so stale fixtures
 # from older code can never be read back as oracle truth.
-FIXTURE_SEMANTICS_VERSION = 2
+FIXTURE_SEMANTICS_VERSION = 3
 
 
 def _source_key(sf_dir: str) -> str:
@@ -164,6 +164,48 @@ def ensure_media_features_fixture(sf_dir: str) -> str:
 
         pages["features"] = pages.html.map(feats)
         _atomic_write_parquet(pages[["url", "features"]], path)
+    return path
+
+
+def ensure_kmeans_fixture(sf_dir: str, n_cells: int = 4, dim: int = 64,
+                          iters: int = 3, seed: int = 977) -> str:
+    """(cell, centroid rounded 4) via an INDEPENDENT numpy replication of
+    kmeans_train's Lloyd loop (same deterministic init + argmax-dot
+    assignment + mean update + empty-cell carry) — value-checks the
+    iterative DataFrame training, which has no SQL rendering."""
+    import duckdb
+    import numpy as np
+
+    from ..operators.similarity import make_centroids
+
+    path = os.path.join(
+        FIXTURE_DIR,
+        f"kmeans_{n_cells}_{iters}_{_source_key(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        con = duckdb.connect()
+        emb = con.sql(
+            f"select embedding from '{sf_dir}/embeddings.parquet'"
+        ).df()
+        E = np.array([list(map(float, v)) for v in emb.embedding],
+                     dtype=np.float64)
+        C = np.array(make_centroids(n_cells, dim, seed), dtype=np.float64)
+        for _ in range(iters):
+            assign = np.argmax(E @ C.T, axis=1)  # first max, like Spark
+            for c in range(n_cells):
+                members = E[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    # NOTE: replicate kmeans_train's scalar norm exactly
+                    norm = float(sum(x * x for x in m)) ** 0.5
+                    if norm > 0:
+                        C[c] = m / norm
+        import pandas as pd
+        out = pd.DataFrame({
+            "cell": list(range(1, n_cells + 1)),
+            "centroid": [[round(float(x), 4) for x in row] for row in C],
+        })
+        _atomic_write_parquet(out, path)
     return path
 
 

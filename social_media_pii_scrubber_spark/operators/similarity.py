@@ -513,3 +513,42 @@ def ivf_topk_sql(corpus_sql: str, query_pred: str, id_col: str,
         f"  order by cosine desc, match_id asc) as rk from scored) "
         f"select query_id, match_id, cosine, rk from ranked where rk <= {k}"
     )
+
+
+def kmeans_train(df: DataFrame, vec_col: str, n_cells: int, dim: int,
+                 iters: int = 5, seed: int = 977) -> list[list[float]]:
+    """Spherical k-means (Dhillon & Modha 2001) for IVF centroids, as
+    DataFrame ops.
+
+    Per iteration: argmax-dot assignment (with UNIT centroids this is
+    max-cosine — the SAME rule ivf_topk uses) → per-cell mean via
+    ``dim`` sum-aggregates + a count (one shuffle of n_cells partial
+    rows per map task) → renormalize to unit length (the spherical
+    update; an unnormalized mean shrinks and makes argmax-dot
+    incoherent). The only driver-side data is the n_cells×dim centroid
+    matrix itself — model parameters, small by definition — so this
+    scales like any aggregation. Deterministic: centroids init from the
+    seed family; empty/zero cells keep their previous centroid.
+    Iterative (non-SQL-expressible): the gate value-checks the result
+    against an independent numpy replication instead of a SQL twin."""
+    cents = make_centroids(n_cells, dim, seed)
+    v = _as_double(F.col(vec_col))
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
+            v.alias("_v"),
+        )
+        agg = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.sum(F.element_at(F.col("_v"), i + 1)).alias(f"s{i}")
+              for i in range(dim)],
+        )
+        new = list(cents)
+        for row in agg.collect():
+            if row["n"] > 0:
+                mean = [row[f"s{i}"] / row["n"] for i in range(dim)]
+                norm = sum(x * x for x in mean) ** 0.5
+                if norm > 0:
+                    new[row["cell"] - 1] = [x / norm for x in mean]
+        cents = new
+    return cents

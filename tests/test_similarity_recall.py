@@ -148,3 +148,26 @@ class TestIVF:
         brute_best = cosine_topk(e, q, "vec_id", "embedding",
                                  k=1).collect()[0].cosine
         assert all(r.cosine <= brute_best for r in ann)
+
+
+def test_kmeans_training_improves_objective(spark, sf_dir):
+    """3 Lloyd iterations must not worsen the assignment objective
+    (mean best-centroid dot) vs the untrained seed centroids."""
+    import numpy as np
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from social_media_pii_scrubber_spark.operators.similarity import (
+        kmeans_train, make_centroids,
+    )
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    E = np.array([list(map(float, r.embedding)) for r in
+                  e.select("embedding").collect()])
+    init = np.array(make_centroids(4, 64, 977))
+    trained = np.array(kmeans_train(e, "embedding", n_cells=4, dim=64,
+                                    iters=3))
+    # spherical objective: mean max-cosine (centroids are unit vectors)
+    def obj(C):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        return (En @ Cn.T).max(axis=1).mean()
+    assert obj(trained) >= obj(init)
