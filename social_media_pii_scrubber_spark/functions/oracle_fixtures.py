@@ -40,13 +40,15 @@ FIXTURE_DIR = os.path.join(
 # Bump when the semantics of any fixture-backed function change (e.g.
 # the NER lexicon/rules): the key below includes it, so stale fixtures
 # from older code can never be read back as oracle truth.
-FIXTURE_SEMANTICS_VERSION = 3
+FIXTURE_SEMANTICS_VERSION = 4
 
 
-def _source_key(sf_dir: str) -> str:
-    """Cheap content fingerprint of the documents table: size + head,
-    salted with the code-semantics version."""
-    path = os.path.join(sf_dir, "documents.parquet")
+def _source_key(sf_dir: str, table: str = "documents.parquet") -> str:
+    """Cheap content fingerprint of the fixture's ACTUAL source table
+    (size + head), salted with the code-semantics version. Pass the
+    table the fixture reads — keying a fixture on a table it doesn't
+    read lets a regenerated source silently serve stale oracle truth."""
+    path = os.path.join(sf_dir, table)
     h = hashlib.md5()
     h.update(str(FIXTURE_SEMANTICS_VERSION).encode())
     h.update(str(os.path.getsize(path)).encode())
@@ -129,10 +131,14 @@ def ensure_media_scrub_fixture(sf_dir: str) -> str:
 
 
 def ensure_media_features_fixture(sf_dir: str) -> str:
-    """(url, features rounded to 6dp) via the same byte-histogram kernel
-    applied driver-side to the DuckDB-rendered html blobs — like
-    media_scrub: validates the mapInPandas plumbing and the html
-    synthesis twins (plumbing-level scope, kernel shared by design)."""
+    """(url, features as a comma-joined micro-unit string) via the same
+    byte-histogram kernel applied driver-side to the DuckDB-rendered
+    html blobs — like media_scrub: validates the mapInPandas plumbing
+    and the html synthesis twins (plumbing-level scope, kernel shared by
+    design). Each fraction is rendered as round(x * 1e6) — integers, so
+    the driver's value hash is type- and format-stable (the raw
+    array<double> projection crashed the driver's canonicalizer,
+    VERDICT r03 item 1)."""
     import duckdb
     import numpy as np
 
@@ -157,10 +163,13 @@ def ensure_media_features_fixture(sf_dir: str) -> str:
             arr = np.frombuffer(bytes(blob), dtype=np.uint8)
             hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
             total = max(int(hist.sum()), 1)
-            # HALF_UP to match Spark's round() (Python round is
-            # round-half-even); values are non-negative fractions
-            return [math.floor(float(x) * 1e6 + 0.5) / 1e6
-                    for x in (hist / total).astype("float32")]
+            # HALF_UP of (float32 fraction promoted to float64) * 1e6 —
+            # the exact op sequence of the Spark-side projection
+            # round(cast(x as double) * 1e6, 0)
+            return ",".join(
+                str(math.floor(float(x) * 1e6 + 0.5))
+                for x in (hist / total).astype("float32")
+            )
 
         pages["features"] = pages.html.map(feats)
         _atomic_write_parquet(pages[["url", "features"]], path)
@@ -169,10 +178,16 @@ def ensure_media_features_fixture(sf_dir: str) -> str:
 
 def ensure_kmeans_fixture(sf_dir: str, n_cells: int = 4, dim: int = 64,
                           iters: int = 3, seed: int = 977) -> str:
-    """(cell, centroid rounded 4) via an INDEPENDENT numpy replication of
-    kmeans_train's Lloyd loop (same deterministic init + argmax-dot
-    assignment + mean update + empty-cell carry) — value-checks the
-    iterative DataFrame training, which has no SQL rendering."""
+    """(cell, centroid — full float64, unrounded) via an INDEPENDENT
+    numpy replication of kmeans_train's Lloyd loop (same deterministic
+    init + argmax-dot assignment + mean update + empty-cell carry) —
+    value-checks the iterative DataFrame training, which has no SQL
+    rendering. The dot-product assignment replicates F.aggregate's
+    LEFT-TO-RIGHT fold order exactly (column-sequential accumulation,
+    not np.matmul's pairwise/SIMD summation), so iteration-1 assignment
+    is bit-identical to Spark's; the per-cell mean is the one reduction
+    whose order Spark doesn't pin, so consumers compare centroids with
+    an epsilon (1e-6) rather than bit-exactly."""
     import duckdb
     import numpy as np
 
@@ -180,7 +195,8 @@ def ensure_kmeans_fixture(sf_dir: str, n_cells: int = 4, dim: int = 64,
 
     path = os.path.join(
         FIXTURE_DIR,
-        f"kmeans_{n_cells}_{iters}_{_source_key(sf_dir)}.parquet")
+        f"kmeans_{n_cells}_{iters}_{_source_key(sf_dir, 'embeddings.parquet')}"
+        ".parquet")
     if not os.path.exists(path):
         os.makedirs(FIXTURE_DIR, exist_ok=True)
         con = duckdb.connect()
@@ -191,7 +207,12 @@ def ensure_kmeans_fixture(sf_dir: str, n_cells: int = 4, dim: int = 64,
                      dtype=np.float64)
         C = np.array(make_centroids(n_cells, dim, seed), dtype=np.float64)
         for _ in range(iters):
-            assign = np.argmax(E @ C.T, axis=1)  # first max, like Spark
+            # sequential fold over dims: ((0 + p0) + p1) + ... — the
+            # exact FP-op order of F.aggregate(zip_with(v, c, *), 0.0, +)
+            dots = np.zeros((len(E), n_cells), dtype=np.float64)
+            for j in range(dim):
+                dots += E[:, j:j + 1] * C[:, j]
+            assign = np.argmax(dots, axis=1)  # first max, like Spark
             for c in range(n_cells):
                 members = E[assign == c]
                 if len(members):
@@ -203,7 +224,7 @@ def ensure_kmeans_fixture(sf_dir: str, n_cells: int = 4, dim: int = 64,
         import pandas as pd
         out = pd.DataFrame({
             "cell": list(range(1, n_cells + 1)),
-            "centroid": [[round(float(x), 4) for x in row] for row in C],
+            "centroid": [[float(x) for x in row] for row in C],
         })
         _atomic_write_parquet(out, path)
     return path

@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 MIN_WORDS = 4
 # C4 boilerplate markers (lowercased containment)
 BLOCK_TERMS = ("javascript", "cookie", "lorem ipsum", "{")
-_TERMINAL = r'[.!?"]$'
+# \z, never bare $: Java's $ matches before a trailing line terminator
+# (\r survives split('\n') on CRLF text) while RE2's $ is absolute end —
+# \z means absolute end-of-input in BOTH engines (repo anchor invariant).
+_TERMINAL = '[.!?"]\\z'
 
 
 def _line_words(line):

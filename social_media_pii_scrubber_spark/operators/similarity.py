@@ -448,13 +448,19 @@ def ivf_cell_sql(vec: str, centroids: list[list[float]]) -> str:
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
              vec_col: str, k: int = 5, n_cells: int = 8, probe: int = 2,
-             dim: int = 64, seed: int = 977) -> DataFrame:
+             dim: int = 64, seed: int = 977,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF ANN top-k: rank only within the query's ``probe`` best cells.
 
     probe == n_cells degenerates to exact brute force (tested); smaller
     probe trades recall for touching ~probe/n_cells of the corpus.
-    Output schema matches cosine_topk."""
-    cents = make_centroids(n_cells, dim, seed)
+    Output schema matches cosine_topk. ``centroids`` (e.g. the output of
+    ``kmeans_train``, persisted like any model artifact) overrides the
+    fixed seed-family quantizer — trained centroids change recall, not
+    topology, and as plain literals keep the operator SQL-renderable."""
+    cents = centroids if centroids is not None else make_centroids(
+        n_cells, dim, seed)
+    n_cells = len(cents)
     c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("match_id"),
         F.col(vec_col).alias("cvec"),
@@ -490,8 +496,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
 
 def ivf_topk_sql(corpus_sql: str, query_pred: str, id_col: str,
                  vec_col: str, k: int = 5, n_cells: int = 8, probe: int = 2,
-                 dim: int = 64, seed: int = 977) -> str:
-    cents = make_centroids(n_cells, dim, seed)
+                 dim: int = 64, seed: int = 977,
+                 centroids: list[list[float]] | None = None) -> str:
+    cents = centroids if centroids is not None else make_centroids(
+        n_cells, dim, seed)
+    n_cells = len(cents)
     dv = f"list_transform({vec_col}, x -> cast(x as double))"
     dots = "[" + ", ".join(_lit_dot_sql(dv, c) for c in cents) + "]"
     cos = cosine_sql("q.qvec", "c.cvec")

@@ -28,6 +28,10 @@ FRAGMENTS = [
     "HTTPS://Host.EX/p?utm_source=a&ref=hn#frag", "http://h/?a=1&&b=2&",
     # line-operator adversaries
     "good line with enough words.\nshort\nenable javascript now please.",
+    # CRLF survivor: split('\n') leaves a trailing \r — Java's bare $
+    # would match before it, RE2's wouldn't; the \z twin must agree
+    "crlf line with enough words.\r\nplain line with enough words.",
+    "ends with period then cr.\r",
     "Accept our cookie policy today!\nreal sentence with five words.",
     "dup line stays here once.\ndup line stays here once.",
     "user_1@a-b.co", "@@handle", "a@b", "x@y.z.museum", "+1 (212) 555-0199",
