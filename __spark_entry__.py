@@ -692,6 +692,54 @@ def _ivf_trained_topk_sql() -> str:
                             "embedding", k=5, probe=2, centroids=cents)
 
 
+def q_zip_ingest(spark, sf):
+    """Archive-ingestion front door (S1 zip seam — VERDICT r03 missing
+    item 1): binaryFile scan over synthesized FB-export-shaped zips →
+    Arrow-batched member extraction (member_pattern pruned inside the
+    extractor) → S2 JSON parse → exploded post records. The zips are a
+    deterministic function of the documents table, so the DuckDB oracle
+    re-derives the expected records from the documents view directly.
+    Reference front door: smparserbase.py:34-35 (ZipFile), get_json
+    :114-119."""
+    from social_media_pii_scrubber_spark.sources import archives as AR
+
+    _pin_session(spark)
+    zdir = OF.ensure_export_zip_fixture(sf)
+    mem = AR.scan_zip_members(spark, zdir + "/*.zip",
+                              member_pattern="posts/*.json")
+    posts = AR.json_members(
+        mem,
+        "array<struct<timestamp bigint, title string, "
+        "data array<struct<post string>>>>",
+    )
+    p = posts.select(
+        F.element_at(F.split(F.col("archive"), "/"), -1).alias("archive"),
+        "member",
+        F.explode(F.col("parsed")).alias("p"),
+    )
+    return p.select(
+        "archive", "member",
+        F.col("p.timestamp").alias("ts"),
+        F.col("p.title").alias("title"),
+        F.col("p.data")[0]["post"].alias("post"),
+    )
+
+
+def _zip_ingest_sql() -> str:
+    try:
+        OF.ensure_export_zip_fixture(ORACLE_SF)
+    except OSError as e:
+        msg = f"zip fixture source unavailable under {ORACLE_SF}: {e}"
+        return "select error('" + msg.replace("'", "''") + "')"
+    return (
+        "select 'fbexport_' || cast(doc_id % 2 as varchar) || '.zip' as archive, "
+        "'posts/your_posts_1.json' as member, "
+        "cast(1704067200 + doc_id * 3600 as bigint) as ts, "
+        "'Post ' || cast(doc_id as varchar) as title, "
+        "text as post from documents where doc_id < 40"
+    )
+
+
 def q_incremental_dedup(spark, sf):
     """Cross-snapshot incremental dedup — the rolling-crawl workflow:
     keep only NEW-snapshot docs whose fingerprint never appeared in the
@@ -1342,6 +1390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "ivf_topk": q_ivf_topk,
         "ivf_trained_topk": q_ivf_trained_topk,
+        "zip_ingest": q_zip_ingest,
         "kmeans_centroids": q_kmeans_centroids,
         # -- never driver-checked (past the r02 50-entry cutoff) --
         "clean_text_udf": q_clean_text_udf,
@@ -1556,6 +1605,7 @@ def oracle_sql() -> dict[str, str]:
             k=5, n_cells=8, probe=2,
         ),
         "ivf_trained_topk": _ivf_trained_topk_sql(),
+        "zip_ingest": _zip_ingest_sql(),
         "ner_coverage": _ner_coverage_sql(),
         "corpus_stats": corpus_stats_sql("documents", "text", "lang"),
         "full_quality_gate": (

@@ -230,6 +230,66 @@ def ensure_kmeans_fixture(sf_dir: str, n_cells: int = 4, dim: int = 64,
     return path
 
 
+def ensure_export_zip_fixture(sf_dir: str) -> str:
+    """Deterministic platform-export-shaped zips synthesized from the
+    documents table, for the archive-ingestion gate entry (S1 zip seam).
+
+    Two archives (doc parity split, so the scan proves multi-archive
+    fan-out), each holding:
+    - ``posts/your_posts_1.json`` — FB your_posts shape (top-level
+      array of {timestamp, title, data:[{post}]}), docs 0-39;
+    - ``profile/profile_kv.txt`` — the '\\n\\n' / ': ' TXT record
+      shape (get_txt, smparserbase.py:121-127), docs 40-59.
+
+    Every field derives from doc_id/text/lang, so the DuckDB oracle
+    re-derives the expected parse output straight from the documents
+    view — no zip reading in DuckDB required. Byte-determinism:
+    ZIP_STORED, fixed DOS timestamp, doc_id-sorted member rows.
+    """
+    import json
+
+    import duckdb
+
+    zdir = os.path.join(FIXTURE_DIR, f"export_zips_{_source_key(sf_dir)}")
+    done = os.path.join(zdir, ".complete")
+    if not os.path.exists(done):
+        import shutil
+        import zipfile
+
+        shutil.rmtree(zdir, ignore_errors=True)
+        os.makedirs(zdir, exist_ok=True)
+        con = duckdb.connect()
+        docs = con.sql(
+            "select doc_id, text, lang from "
+            f"'{sf_dir}/documents.parquet' where doc_id < 60 order by doc_id"
+        ).fetchall()
+        for parity in (0, 1):
+            posts = [
+                {"timestamp": 1704067200 + did * 3600,
+                 "title": f"Post {did}",
+                 "data": [{"post": text}]}
+                for did, text, _lang in docs
+                if did < 40 and did % 2 == parity
+            ]
+            recs = "\n\n".join(
+                f"Name: doc{did}\nLang: {lang}"
+                for did, _text, lang in docs
+                if 40 <= did < 60 and did % 2 == parity
+            )
+            zpath = os.path.join(zdir, f"fbexport_{parity}.zip")
+            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+                for name, payload in (
+                    ("posts/your_posts_1.json",
+                     json.dumps(posts, ensure_ascii=False)),
+                    ("profile/profile_kv.txt", recs),
+                ):
+                    info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+                    zf.writestr(info, payload.encode("utf-8"))
+        with open(done, "w") as f:
+            f.write("ok")
+    return zdir
+
+
 def ensure_clean_text_fixture(sf_dir: str) -> str:
     """(url, cleaned) via driver-side clean_text over the DuckDB-rendered
     webpages CTE (independent of the Spark page synthesis)."""

@@ -31,8 +31,12 @@ NER: the reference uses scrubadub + TextBlobNameDetector
 ``ner_scrub_text`` is a DETERMINISTIC STAND-IN: a capitalized-bigram
 detector against a fixed first-name lexicon, replacing matches with
 ``{{NAME}}`` — same interface, same "model loaded lazily per worker"
-pattern, clearly marked. Swap ``_NER_IMPL`` for a real scrubadub/fastText
-pipeline in production.
+pattern, clearly marked. Production swap seam: pass ``ner_impl=`` (any
+picklable ``str -> str``, e.g. a scrubadub pipeline wrapper) to
+``clean_text_pandas_udf`` — the callable ships inside the UDF closure
+(so it reaches every Python worker, unlike driver-side module state)
+and keys the same per-worker compiled-bank cache
+(tests/test_scrub.py::TestNerSwapSeam).
 """
 
 from __future__ import annotations
@@ -120,9 +124,10 @@ class _CompiledCleanText:
     north star requires.
     """
 
-    def __init__(self, cfg: ScrubConfig, ner: bool = True):
+    def __init__(self, cfg: ScrubConfig, ner: bool = True, ner_impl=None):
         self.cfg = cfg
         self.ner = ner
+        self.ner_impl = ner_impl  # None → built-in lexicon stand-in
         # Reference treats names as raw regex patterns (not escaped) —
         # reproduced as-is; clean_text order is load-bearing.
         self.first = re.compile(cfg.first_name, re.I)
@@ -143,11 +148,21 @@ class _CompiledCleanText:
             t = pat.sub("{{ALIAS}}", t, count=count)
         t = self.handle.sub("{{HANDLE}}", t)
         if self.ner:
-            t = ner_scrub_text(t)
+            t = (self.ner_impl or ner_scrub_text)(t)
         return t
 
 
-def _get_compiled(cfg: ScrubConfig, ner: bool) -> _CompiledCleanText:
+def _impl_key(ner_impl) -> tuple:
+    """Stable identity for a swapped NER impl (module+qualname survive
+    pickling into workers; object ids don't)."""
+    if ner_impl is None:
+        return ("builtin",)
+    return (getattr(ner_impl, "__module__", "?"),
+            getattr(ner_impl, "__qualname__", repr(ner_impl)))
+
+
+def _get_compiled(cfg: ScrubConfig, ner: bool,
+                  ner_impl=None) -> _CompiledCleanText:
     key = (
         cfg.first_name,
         cfg.last_name,
@@ -155,30 +170,38 @@ def _get_compiled(cfg: ScrubConfig, ner: bool) -> _CompiledCleanText:
         cfg.person_alias,
         cfg.reproduce_alias_bug,
         ner,
+        _impl_key(ner_impl),
     )
     bank = _COMPILED_BANKS.get(key)
     if bank is None:
-        bank = _CompiledCleanText(cfg, ner=ner)
+        bank = _CompiledCleanText(cfg, ner=ner, ner_impl=ner_impl)
         _COMPILED_BANKS[key] = bank
     return bank
 
 
-def clean_text_python(text: str, cfg: ScrubConfig, ner: bool = True) -> str:
+def clean_text_python(text: str, cfg: ScrubConfig, ner: bool = True,
+                      ner_impl=None) -> str:
     """Driver-side single-string clean_text (tests / goldens)."""
-    return _get_compiled(cfg, ner).clean(text)
+    return _get_compiled(cfg, ner, ner_impl).clean(text)
 
 
-def clean_text_pandas_udf(cfg: ScrubConfig, ner: bool = True):
+def clean_text_pandas_udf(cfg: ScrubConfig, ner: bool = True, ner_impl=None):
     """Vectorized clean_text: Series→Series over Arrow batches.
 
     Returns a pandas UDF capturing the (small, picklable) config; the
     compiled bank + NER lexicon materialize lazily inside each Python
     worker, once, exactly like the reference's class-level scrubber.
+
+    ``ner_impl``: production NER swap seam — a picklable ``str -> str``
+    (e.g. wrapping scrubadub + TextBlobNameDetector, the reference's
+    pipeline at smparserbase.py:72-79). It is captured in the UDF
+    closure, so it reaches every Python worker and inherits the same
+    compile-once-per-worker caching as the built-in stand-in.
     """
 
     @pandas_udf("string")
     def clean_text_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        bank = _get_compiled(cfg, ner)
+        bank = _get_compiled(cfg, ner, ner_impl)
         for s in it:
             yield s.map(lambda x: bank.clean(x) if x is not None else None)
 
