@@ -1368,70 +1368,44 @@ def q_clean_text_udf(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate: the driver gate checks the FIRST 50 keys
-    in insertion order, so the window is rotated each round to give every
-    entry a driver verdict. Round-3 window = the 24 entries the r02 gate
-    never reached (positions 51-74 last round), the two r02 hash-red
-    entries (pii_coverage/corpus_stats, now cast-fixed), new round-3
-    entries, then the most load-bearing r02-green pipelines. The rotated
-    -out tail (positions 51+) is all r02-driver-green trivia whose
-    verdicts stand on record in CORRECTNESS_r02.json."""
+    in insertion order, so the window is rotated each round to give
+    every entry a fresh driver verdict. The EXACT-50 boundary marker
+    below is enforced by tests/test_operators.py (ADVICE r03: the r03
+    marker sat at position 61, silently dropping 11 documented entries
+    out of the gate).
+
+    Round-4 window = (a) the two r03 array-hash-red entries, now
+    projected hashable (kmeans_centroids, media_features); (b) new
+    round-4 entries (zip_ingest, ivf_trained_topk) and incremental_dedup
+    whose oracle SQL changed; (c) the pipelines whose code was touched
+    this round (scrub seam → clean_text/ner/pii/flagships; lines.py
+    anchor → c4/line_dedup/web_preprocess); (d) the 11 entries the r03
+    marker bug left unchecked since r02; (e) the 24-entry r02 tail, all
+    last verified in CORRECTNESS_r02. The rotated-out tail (51+) is all
+    r03-driver-green on unchanged code (verdicts on record in
+    CORRECTNESS_r03.json); media_scrub sits there permanently — it is
+    rows-only by design (no_oracle) and must not burn a window slot
+    (VERDICT r03 item 2); its value coverage lives in media_scrub_hex."""
     return {
-        # -- fixed this round (r02 hash_match=false) --
-        "pii_coverage": q_pii_coverage,
-        "corpus_stats": q_corpus_stats,
-        # -- new in round 3 --
-        "ner_coverage": q_ner_coverage,
-        "streaming_scrub": q_streaming_scrub,
-        "line_dedup": q_line_dedup,
-        "c4_line_filter": q_c4_line_filter,
-        "pii_coverage_ext": q_pii_coverage_ext,
-        "web_preprocess": q_web_preprocess,
-        "substring_dup": q_substring_dup,
-        "incremental_dedup": q_incremental_dedup,
-        "ivf_topk": q_ivf_topk,
-        "ivf_trained_topk": q_ivf_trained_topk,
-        "zip_ingest": q_zip_ingest,
+        # -- (a) r03 hash-crash entries, projections fixed this round --
         "kmeans_centroids": q_kmeans_centroids,
-        # -- never driver-checked (past the r02 50-entry cutoff) --
-        "clean_text_udf": q_clean_text_udf,
-        "perplexity_udf": q_perplexity_udf,
-        "media_scrub_hex": q_media_scrub_hex,
-        "media_scrub": q_media_scrub,
         "media_features": q_media_features,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_list": q_dedup_keep_list,
-        "ann_amp_topk": q_ann_amp_topk,
-        "fb_profile_updates": q_fb_profile_updates,
-        "tt_user_videos": q_tt_user_videos,
-        "cosine_topk": q_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "embedding_dup_pairs": q_embedding_dup_pairs,
-        "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
-        "url_canonicalize": q_url_canonicalize,
-        "contamination": q_contamination,
-        "chunk_text": q_chunk_text,
-        "pack_sequences": q_pack_sequences,
-        "tfidf": q_tfidf,
-        "tfidf_similar_pairs": q_tfidf_similar_pairs,
-        "sample_by_hash": q_sample_by_hash,
-        "stratified_sample": q_stratified_sample,
-        "split_by_hash": q_split_by_hash,
-        "cap_per_key": q_cap_per_key,
-        "train_char_lm": q_train_char_lm,
-        # -- load-bearing pipelines, re-verified each round --
+        # -- (b) new in round 4 / oracle SQL changed --
+        "zip_ingest": q_zip_ingest,
+        "ivf_trained_topk": q_ivf_trained_topk,
+        "incremental_dedup": q_incremental_dedup,
+        # -- (c) code touched this round: scrub seam + line anchor --
+        "clean_text_udf": q_clean_text_udf,
+        "ner_coverage": q_ner_coverage,
+        "pii_coverage": q_pii_coverage,
+        "scrub_bank": q_scrub_bank,
         "flagship_pipeline": q_flagship_pipeline,
         "flagship_with_toxicity": q_flagship_with_toxicity,
         "full_quality_gate": q_full_quality_gate,
-        "scrub_bank": q_scrub_bank,
-        "quality_heuristics": q_quality_heuristics,
-        "quality_repetition": q_quality_repetition,
-        "toxicity": q_toxicity,
-        "langid": q_langid,
-        "langid_margin": q_langid_margin,
-        "exact_dedup": q_exact_dedup,
-        "minhash_signature": q_minhash_signature,
-        "lsh_pairs": q_lsh_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
+        "c4_line_filter": q_c4_line_filter,
+        "line_dedup": q_line_dedup,
+        "web_preprocess": q_web_preprocess,
+        # -- (d) unchecked since r02 (r03 marker bug, ADVICE item 1) --
         "simhash": q_simhash,
         "tok_counts": q_tok_counts,
         "fingerprint": q_fingerprint,
@@ -1443,7 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_routing": q_p8_routing,
         "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
-        # ---- driver-window boundary (~50) ----
+        # -- (e) the r02 tail, last verified in CORRECTNESS_r02 --
         "explode_pos": q_explode_pos,
         "w1_photo_seq": q_w1_photo_seq,
         "p1_date_filter_events": q_p1_date_filter_events,
@@ -1468,6 +1442,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_img_ext": q_f10_img_ext,
         "f11_ph_num": q_f11_ph_num,
         "f12_json_path": q_f12_json_path,
+        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
+        # everything below is r03-driver-green on unchanged code
+        "corpus_stats": q_corpus_stats,
+        "streaming_scrub": q_streaming_scrub,
+        "pii_coverage_ext": q_pii_coverage_ext,
+        "substring_dup": q_substring_dup,
+        "ivf_topk": q_ivf_topk,
+        "perplexity_udf": q_perplexity_udf,
+        "media_scrub_hex": q_media_scrub_hex,
+        "media_scrub": q_media_scrub,  # rows-only by design; never windowed
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
+        "ann_amp_topk": q_ann_amp_topk,
+        "fb_profile_updates": q_fb_profile_updates,
+        "tt_user_videos": q_tt_user_videos,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
+        "url_canonicalize": q_url_canonicalize,
+        "contamination": q_contamination,
+        "chunk_text": q_chunk_text,
+        "pack_sequences": q_pack_sequences,
+        "tfidf": q_tfidf,
+        "tfidf_similar_pairs": q_tfidf_similar_pairs,
+        "sample_by_hash": q_sample_by_hash,
+        "stratified_sample": q_stratified_sample,
+        "split_by_hash": q_split_by_hash,
+        "cap_per_key": q_cap_per_key,
+        "train_char_lm": q_train_char_lm,
+        "quality_heuristics": q_quality_heuristics,
+        "quality_repetition": q_quality_repetition,
+        "toxicity": q_toxicity,
+        "langid": q_langid,
+        "langid_margin": q_langid_margin,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signature": q_minhash_signature,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
     }
 
 

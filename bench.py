@@ -43,6 +43,19 @@ def _count(df) -> int:
     return df.count()
 
 
+def _cpu_steal() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — sampled before
+    and after the run so the emitted steal_pct says how much of this
+    invocation's window the shared host stole (VERDICT r03 item 8:
+    cross-round comparisons gate on comparable steal)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except OSError:
+        return 0, 0
+
+
 def main() -> None:
     spark = get_spark(
         app_name="bench", master=f"local[{CPUS}]",
@@ -50,6 +63,7 @@ def main() -> None:
     )
     t = lambda: time.time()
     timings: dict[str, float] = {}
+    steal0, jiff0 = _cpu_steal()
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
@@ -131,6 +145,20 @@ def main() -> None:
         emb, "embedding", "vec_id", n_planes=8, n_tables=4, dim=64))
     timings["q6b_embedding_lsh_amplified"] = t() - t0
 
+    # q6c: IVF-Flat ANN, trained-shaped quantizer topology at probe=2/8
+    # (cell assignment is codegen'd per-row argmax — no shuffle; the
+    # probe join touches ~probe/n_cells of the corpus)
+    t0 = t()
+    _count(SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10),
+                        "vec_id", "embedding", k=10, n_cells=8, probe=2))
+    timings["q6c_ivf_topk_probe2"] = t() - t0
+
+    # q6d: k-means quantizer training (2 Lloyd iterations, 8 cells) —
+    # the model-fit cost amortized over every IVF query that follows
+    t0 = t()
+    SIM.kmeans_train(emb, "embedding", n_cells=8, dim=64, iters=2)
+    timings["q6d_kmeans_train"] = t() - t0
+
     # q8: line-level cleaning at corpus scale — C4 line filter (pure
     # codegen, no shuffle) then corpus-global line dedup (one line
     # shuffle + per-doc reassembly) over the 1M-page web corpus
@@ -160,6 +188,9 @@ def main() -> None:
     timings["q7_relational_mix"] = t() - t0
 
     pages.unpersist()
+    steal1, jiff1 = _cpu_steal()
+    steal_pct = round(
+        100.0 * (steal1 - steal0) / max(jiff1 - jiff0, 1), 2)
     total = sum(timings.values())
     print(json.dumps({
         "metric": "end-to-end filter+scrub throughput (docs/sec) + operator timings",
@@ -171,6 +202,7 @@ def main() -> None:
         "kept_rows": rows_out,
         "docs_per_sec": round(docs_per_sec, 1),
         "cpus": CPUS,
+        "steal_pct": steal_pct,
     }))
     spark.stop()
 

@@ -260,3 +260,47 @@ class TestSubstringDup:
         r = substring_dup_stats(df, "text", "doc_id").collect()[0]
         # windows at strides 1 and 11 are the identical span
         assert r.dup_windows >= 2
+
+
+class TestDriverContract:
+    """The driver gate checks only the FIRST 50 queries() keys — these
+    tests make the window a checked invariant instead of a comment
+    (ADVICE r03: the r03 boundary marker sat at position 61 and 11
+    documented entries silently lost their verdicts)."""
+
+    def test_window_boundary_marker_sits_at_exactly_50(self):
+        import inspect
+
+        import __spark_entry__ as E
+
+        src = inspect.getsource(E.queries)
+        before_marker = src.split("driver-window boundary")[0]
+        n_keys_before = before_marker.count('":')
+        assert n_keys_before == 50, (
+            f"marker after {n_keys_before} entries; the driver gate "
+            "checks exactly 50 — move the marker or rotate entries")
+
+    def test_every_query_has_oracle_or_is_documented_rows_only(self):
+        import __spark_entry__ as E
+
+        q = set(E.queries())
+        o = set(E.oracle_sql())
+        rows_only = q - o
+        # media_scrub is the ONLY deliberate no-oracle entry (raw binary
+        # kernel; value coverage lives in media_scrub_hex) and it must
+        # stay OUT of the 50-entry window
+        assert rows_only == {"media_scrub"}, rows_only
+        assert list(E.queries()).index("media_scrub") >= 50
+        assert not (o - q), f"orphan oracles: {o - q}"
+
+    def test_windowed_entries_cover_every_touched_module(self):
+        """Rotation sanity: the first-50 window must include the
+        round's changed-code entries (they are the ones whose verdicts
+        CORRECTNESS_r04 needs fresh)."""
+        import __spark_entry__ as E
+
+        window = list(E.queries())[:50]
+        for must in ("kmeans_centroids", "media_features", "zip_ingest",
+                     "ivf_trained_topk", "incremental_dedup",
+                     "clean_text_udf", "c4_line_filter", "web_preprocess"):
+            assert must in window, must

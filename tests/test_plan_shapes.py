@@ -101,6 +101,31 @@ def test_amplified_lsh_self_join_reuses_exchange(spark, sf_dir):
     p = plan_of(df)
     assert "ReusedExchange" in p, p[:3000]
     assert "CartesianProduct" not in p
+    # the matmul bucket UDF must appear ONCE in the FINAL plan (reuse
+    # covers both join sides) — a second ArrowEvalPython means the
+    # buckets recompute. (toString also prints AQE's Initial Plan,
+    # where both sides legitimately still carry the UDF — cut it off.)
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, final[:3000]
+
+
+def test_simhash64_partial_agg_pure_codegen(spark, sf_dir):
+    """q5b scale contract: the 64 bit-vote sums must partial-aggregate
+    map-side (two HashAggregates around one id-hash exchange — at
+    corpus scale the map-side combine IS the operator: tokens collapse
+    to one 64-column row per doc per task before the shuffle), the
+    token hash must be computed once (single xxhash64 in the plan, not
+    per-vote), and the whole operator stays in codegen — zero Python."""
+    from social_media_pii_scrubber_spark.operators.dedup import (
+        simhash_signature_fast,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(simhash_signature_fast(docs, "text", "doc_id"))
+    assert p.count("HashAggregate") >= 2, p[:3000]
+    assert "Exchange hashpartitioning(doc_id" in p, p[:3000]
+    assert p.lower().count("xxhash64") == 1, p[:3000]
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
 
 
 def test_exact_dedup_partial_aggregation(spark, sf_dir):
