@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from social_media_pii_scrubber_spark.config import ScrubConfig
+from social_media_pii_scrubber_spark.functions import html as HT
 from social_media_pii_scrubber_spark.functions import langid as L
 from social_media_pii_scrubber_spark.functions import quality as Q
 from social_media_pii_scrubber_spark.functions import scrub as S
@@ -28,6 +29,7 @@ from social_media_pii_scrubber_spark.operators import dates as D
 from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators import contamination as CT
 from social_media_pii_scrubber_spark.operators import dedup as DD
+from social_media_pii_scrubber_spark.operators import evaluation as EV
 from social_media_pii_scrubber_spark.operators import joins as J
 from social_media_pii_scrubber_spark.operators import lines as LN
 from social_media_pii_scrubber_spark.operators import pivots as P
@@ -570,6 +572,49 @@ def q_flagship_pipeline(spark, sf):
     _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
     return filter_scrub_pipeline(pages, CFG).df
+
+
+def q_keep_f1(spark, sf):
+    """Metric-math gate for the F1 evaluation harness: confusion matrix
+    + precision/recall/F1 of the cheap heuristic gate scored against
+    the full gate (heuristics ∧ repetition ∧ toxicity ∧
+    langid-confidence), one partial-agg row — value-checks
+    operators/evaluation.py cross-engine. The north-rule
+    F1≥0.99-vs-planted-reference-labels evidence runs in
+    tests/test_keep_f1.py on the labeled synthetic crawl."""
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    full = (Q.keep_expr(t) & Q.repetition_keep_expr(t)
+            & TX.toxicity_keep_expr(t) & (L.langid_margin_expr(t) >= 1))
+    scored = d.select(Q.keep_expr(t).alias("pred"), full.alias("label"))
+    return EV.keep_confusion(scored, "pred", "label")
+
+
+def q_html_extract(spark, sf):
+    """North-rule front-door invariant: the engine's own html→text
+    extraction (functions/html.py, pure codegen chain) must be
+    byte-identical per url to the reference-extracted text column. The
+    value hash covers the FULL extracted strings in both engines;
+    byte_identical must be true on every row."""
+    _pin_session(spark)
+    pages = webpages_from_documents(spark, sf)
+    ext = HT.html_text_expr(F.col("html"))
+    return pages.select(
+        "url",
+        ext.alias("extracted_text"),
+        (ext == F.col("text")).alias("byte_identical"),
+    )
+
+
+def q_flagship_from_html(spark, sf):
+    """Flagship in the crawl configuration: no pre-extracted text column
+    exists — extraction from html:binary is the pipeline's stage 0
+    (plans/pipeline.py from_html=True), then langid → quality → scrub.
+    The text column is dropped up front so the result provably derives
+    from the engine's own extraction."""
+    _pin_session(spark)
+    pages = webpages_from_documents(spark, sf).drop("text")
+    return filter_scrub_pipeline(pages, CFG, from_html=True).df
 
 
 # documents.text has no newlines; synthesize deterministic lines the
@@ -1376,7 +1421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-4 window = (a) the two r03 array-hash-red entries, now
     projected hashable (kmeans_centroids, media_features); (b) new
-    round-4 entries (zip_ingest, ivf_trained_topk) and incremental_dedup
+    round-4 entries (html_extract + flagship_from_html — the crawl
+    front door, byte-identical-extraction invariant — plus zip_ingest,
+    ivf_trained_topk) and incremental_dedup
     whose oracle SQL changed; (c) the pipelines whose code was touched
     this round (scrub seam → clean_text/ner/pii/flagships; lines.py
     anchor → c4/line_dedup/web_preprocess); (d) the 11 entries the r03
@@ -1391,6 +1438,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         "media_features": q_media_features,
         # -- (b) new in round 4 / oracle SQL changed --
+        "html_extract": q_html_extract,
+        "flagship_from_html": q_flagship_from_html,
+        "keep_f1": q_keep_f1,
         "zip_ingest": q_zip_ingest,
         "ivf_trained_topk": q_ivf_trained_topk,
         "incremental_dedup": q_incremental_dedup,
@@ -1439,11 +1489,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f7_split_kv": q_f7_split_kv,
         "f8_string_agg": q_f8_string_agg,
         "f9_contains": q_f9_contains,
+        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
+        # everything below is r02/r03-driver-green on unchanged code
+        # (f10/f11/f12 rotated out for the html front door + keep_f1)
         "f10_img_ext": q_f10_img_ext,
         "f11_ph_num": q_f11_ph_num,
         "f12_json_path": q_f12_json_path,
-        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
-        # everything below is r03-driver-green on unchanged code
         "corpus_stats": q_corpus_stats,
         "streaming_scrub": q_streaming_scrub,
         "pii_coverage_ext": q_pii_coverage_ext,
@@ -1674,6 +1725,20 @@ def oracle_sql() -> dict[str, str]:
             f"({L.langid_margin_sql('text')} >= 2) as confident from documents"
         ),
         "flagship_pipeline": pipeline_oracle_sql(pages_cte, CFG),
+        "html_extract": (
+            f"with pages as ({pages_cte}) select url, "
+            f"{HT.html_text_sql('html')} as extracted_text, "
+            f"({HT.html_text_sql('html')} = text) as byte_identical "
+            f"from pages"
+        ),
+        "flagship_from_html": pipeline_oracle_sql(pages_cte, CFG, from_html=True),
+        "keep_f1": EV.keep_confusion_sql(
+            f"(select {Q.keep_sql('text')} as pred, "
+            f"({Q.keep_sql('text')} and {Q.repetition_keep_sql('text')} "
+            f"and {TX.toxicity_keep_sql('text')} "
+            f"and ({L.langid_margin_sql('text')} >= 1)) as label "
+            f"from documents)",
+            "pred", "label"),
         # bounded stream through stateless stages == the batch result
         "streaming_scrub": pipeline_oracle_sql(pages_cte, CFG),
         "line_dedup": LN.line_dedup_sql(

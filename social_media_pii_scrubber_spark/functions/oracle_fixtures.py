@@ -40,7 +40,9 @@ FIXTURE_DIR = os.path.join(
 # Bump when the semantics of any fixture-backed function change (e.g.
 # the NER lexicon/rules): the key below includes it, so stale fixtures
 # from older code can never be read back as oracle truth.
-FIXTURE_SEMANTICS_VERSION = 4
+# v5: html synthesis gained head/script/style/comment chrome + entity
+# escaping (functions/html.py) — media fixtures hash the html bytes.
+FIXTURE_SEMANTICS_VERSION = 5
 
 
 def _source_key(sf_dir: str, table: str = "documents.parquet") -> str:

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..config import ScrubConfig
 from ..functions import quality as Q
+from ..functions.html import html_text_expr, html_text_sql
 from ..functions.langid import langid_expr, langid_pandas_udf
 from ..functions.perplexity import perplexity_pandas_udf
 from ..functions.scrub import clean_text_pandas_udf, scrub_bank_expr
@@ -63,6 +64,7 @@ def filter_scrub_pipeline(
     use_ner: bool = False,
     use_toxicity: bool = False,
     with_observe: bool = False,
+    from_html: bool = False,
 ) -> PipelineResult:
     """The flagship filter+scrub plan over the web-page table.
 
@@ -70,12 +72,22 @@ def filter_scrub_pipeline(
     the whole plan is oracle-checkable SQL. ``True`` adds the
     fastText-shaped langid UDF and the KenLM-shaped perplexity UDF
     (bench configuration; pytest locks UDF↔expr agreement).
+
+    ``from_html=True`` runs the crawl front door: ``text`` is replaced
+    by the engine's own extraction from the ``html:binary`` column
+    (functions/html.py) before any filter stage — the configuration the
+    north rule describes, where the reference-extracted text column
+    doesn't exist and extraction is the pipeline's first operator. Still
+    pure codegen, so the whole plan stays oracle-checkable.
     """
     cfg = cfg or ScrubConfig()
 
     df = pages
     # date window first — Catalyst pushes this into the scan
     df = df.filter(in_date_range_expr(F.col("warc_ts"), cfg.first_date, cfg.last_date))
+
+    if from_html:
+        df = df.withColumn("text", html_text_expr(F.col("html")))
 
     # ALL heavy native work (heuristics, regex scrub, heuristic keep)
     # lives in one whole-stage-codegen span BELOW the Python barrier —
@@ -141,7 +153,8 @@ def filter_scrub_pipeline(
 
 
 def pipeline_oracle_sql(pages_cte: str, cfg: ScrubConfig | None = None,
-                        use_toxicity: bool = False) -> str:
+                        use_toxicity: bool = False,
+                        from_html: bool = False) -> str:
     """DuckDB twin of the column-only pipeline (use_model_udfs=False)."""
     from ..functions import toxicity as TX
     from ..functions.langid import langid_sql
@@ -149,6 +162,11 @@ def pipeline_oracle_sql(pages_cte: str, cfg: ScrubConfig | None = None,
     from ..operators.dates import in_date_range_sql
 
     cfg = cfg or ScrubConfig()
+    if from_html:
+        pages_cte = (
+            f"select url, warc_ts, html, {html_text_sql('html')} as text, "
+            f"lang from ({pages_cte})"
+        )
     keep = Q.keep_sql("text")
     scrub = scrub_bank_sql("text")
     tox_cols = ""

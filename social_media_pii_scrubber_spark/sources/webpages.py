@@ -22,9 +22,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.html import html_escape_expr, html_escape_sql
 from .tables import load_table
 
 BASE_EPOCH = 1_704_067_200  # 2024-01-01T00:00:00Z
+
+# Realistic-enough page template for the html:binary column: head with
+# title/script/style chrome, body attributes, a comment, a body-level
+# script — every removal class functions/html.py handles — around the
+# entity-escaped text. extractor(html(text)) == text byte-identically
+# is the north-rule invariant the html_extract gate entry checks.
+# Script/style payloads contain raw '<' and '&' on purpose (block-level
+# removal must never depend on the tag-stripper).
+_HTML_P1 = '<!DOCTYPE html><html lang="'
+_HTML_P2 = (
+    '"><head><meta charset="utf-8"><title>synthetic crawl page</title>'
+    '<script type="text/javascript">if(1<2){track("&amp;")}</script>'
+    '<style>p>em{color:#081c3a}</style></head>'
+    '<body class="main"><!-- crawler boilerplate --><p id="content">'
+)
+_HTML_SFX = '</p><script>consent(1<2)</script></body></html>'
+
+
+def _html_expr(text, lang):
+    """(text, lang) columns → html:binary (pure Catalyst)."""
+    return F.encode(
+        F.concat(F.lit(_HTML_P1), lang, F.lit(_HTML_P2),
+                 html_escape_expr(text), F.lit(_HTML_SFX)),
+        "utf-8",
+    )
+
+
+def _html_sql(text: str, lang: str) -> str:
+    """DuckDB twin of _html_expr."""
+    return (
+        f"encode('{_HTML_P1}' || {lang} || '{_HTML_P2}' || "
+        f"{html_escape_sql(text)} || '{_HTML_SFX}')"
+    )
 
 # PII planted on deterministic residues of doc_id (oracle-reproducible)
 _PII_EMAIL_MOD = 7
@@ -79,9 +113,7 @@ def webpages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = (d % 37).cast("string")
     url = F.concat(F.lit("https://host"), host, F.lit(".example/doc/"), d.cast("string"))
     ts = F.timestamp_seconds(F.lit(BASE_EPOCH) + (d % 730) * 86400 + d % 86400)
-    html = F.encode(
-        F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "utf-8"
-    )
+    html = _html_expr(text, F.col("lang"))
     return docs.select(
         url.alias("url"),
         ts.alias("warc_ts"),
@@ -98,7 +130,7 @@ def webpages_from_documents_sql(docs_table: str = "documents") -> str:
         f"select"
         f" 'https://host' || cast(doc_id % 37 as varchar) || '.example/doc/' || cast(doc_id as varchar) as url,"
         f" epoch_ms((({BASE_EPOCH} + (doc_id % 730) * 86400 + doc_id % 86400)::bigint) * 1000) as warc_ts,"
-        f" encode('<html><body>' || {text} || '</body></html>') as html,"
+        f" {_html_sql(f'({text})', 'lang')} as html,"
         f" {text} as text,"
         f" lang"
         f" from {docs_table}"
@@ -120,7 +152,8 @@ _VOCAB = (
 
 
 def generate_webpages(spark: SparkSession, n_rows: int,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      with_labels: bool = False) -> DataFrame:
     """Deterministic Common-Crawl-style corpus at any scale.
 
     - hosts are Zipf-ish skewed: ~30% of pages land on host0 (the
@@ -130,6 +163,12 @@ def generate_webpages(spark: SparkSession, n_rows: int,
       repeated boilerplate) and planted PII on id residues;
     - all generation is Catalyst expressions over spark.range — no
       Python, so generating 10^8 rows is shuffle-free and linear.
+
+    ``with_labels=True`` adds ``ref_keep``: the generator's own ground
+    truth (junk classes are planted, so which rows deserve dropping is
+    KNOWN, independent of any filter rule). This is the reference-label
+    column the north rule's F1 ≥ 0.99 criterion is scored against
+    (operators/evaluation.py; tests/test_keep_f1.py).
     """
     df = spark.range(0, n_rows, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
@@ -161,9 +200,12 @@ def generate_webpages(spark: SparkSession, n_rows: int,
         F.array(F.lit("en"), F.lit("en"), F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es")),
         (F.pmod(F.xxhash64(i, F.lit(4)), F.lit(6)) + 1).cast("int"),
     )
-    html = F.encode(F.concat(F.lit("<html><body>"), text, F.lit("</body></html>")), "utf-8")
+    html = _html_expr(text, lang)
 
-    return df.select(
+    cols = [
         url.alias("url"), ts.alias("warc_ts"), html.alias("html"),
         text.alias("text"), lang.alias("lang"),
-    )
+    ]
+    if with_labels:
+        cols.append((junk_class >= 3).alias("ref_keep"))
+    return df.select(*cols)

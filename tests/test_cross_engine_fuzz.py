@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from social_media_pii_scrubber_spark.functions import html as H
 from social_media_pii_scrubber_spark.functions import langid as L
 from social_media_pii_scrubber_spark.functions import quality as Q
 from social_media_pii_scrubber_spark.functions import scrub as S
@@ -45,7 +46,25 @@ FRAGMENTS = [
     "line1\nline1\nline2", "- bullet\n* b2\n1. three\n12.no", "dots...\nmore... ",
     "...", "\n\n", "rep rep rep rep rep", "a b a b a b", "one\n", "x\ny\nx\ny",
     "you STUPID idiot", "hate Hate HATE", "Stupidity is not stupid", "kill killer",
+    # html escape/extract adversaries: pre-escaped entities must
+    # round-trip untouched (&amp;lt; must not collapse to <), tag soup
+    # and script-looking character data must survive as text
+    "&lt;already escaped&gt;", "&amp;amp;", "a&b<c>d", "</p><p>", "<!-- x -->",
+    "<script>alert(1)</script>", "5 < 6 && 7 > 4", "&nbsp;&copy;",
 ]
+
+
+def _wrap_expr(col):
+    """Synthesize an html blob around fuzz text (webpages.py template)."""
+    from social_media_pii_scrubber_spark.sources.webpages import _html_expr
+
+    return _html_expr(col, F.lit("en"))
+
+
+def _wrap_sql(col: str) -> str:
+    from social_media_pii_scrubber_spark.sources.webpages import _html_sql
+
+    return _html_sql(col, "'en'")
 
 
 @pytest.fixture(scope="module")
@@ -80,6 +99,8 @@ def test_all_twins_agree(spark, corpora):
         TX.toxicity_scrub_expr(F.col("t")).alias("toxs"),
         U.url_canonicalize_expr(F.col("t")).alias("urlc"),
         LN.c4_line_filter_expr(F.col("t")).alias("c4l"),
+        H.html_escape_expr(F.col("t")).alias("hesc"),
+        H.html_text_expr(_wrap_expr(F.col("t"))).alias("hrt"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -98,8 +119,14 @@ def test_all_twins_agree(spark, corpora):
         f"{TX.toxicity_score_sql('t')} as tox, "
         f"{TX.toxicity_scrub_sql('t')} as toxs, "
         f"{U.url_canonicalize_sql('t')} as urlc, "
-        f"{LN.c4_line_filter_sql('t')} as c4l from tt"
+        f"{LN.c4_line_filter_sql('t')} as c4l, "
+        f"{H.html_escape_sql('t')} as hesc, "
+        f"{H.html_text_sql(_wrap_sql('t'))} as hrt from tt"
     ).df()
+
+    # extractor ∘ synthesizer must be the identity on EVERY fragment —
+    # the fuzz-strength form of the byte-identical-extraction invariant
+    assert (sp["hrt"] == pd.Series(corpora)).all()
 
     for col in sp.columns:
         mism = sp[col].astype(str) != du[col].astype(str)

@@ -302,5 +302,6 @@ class TestDriverContract:
         window = list(E.queries())[:50]
         for must in ("kmeans_centroids", "media_features", "zip_ingest",
                      "ivf_trained_topk", "incremental_dedup",
-                     "clean_text_udf", "c4_line_filter", "web_preprocess"):
+                     "clean_text_udf", "c4_line_filter", "web_preprocess",
+                     "html_extract", "flagship_from_html"):
             assert must in window, must
