@@ -1136,6 +1136,33 @@ def q_dedup_keep_list(spark, sf):
     return CC.dedup_keep_list(docs.select("doc_id"), pairs, "doc_id")
 
 
+def q_dedup_keep_best(spark, sf):
+    """Quality-aware dedup survivor: within each near-dup cluster keep
+    the highest-score row (tie → min id) instead of min-id — what a
+    training pipeline wants (keep the cleanest copy). Score here is a
+    deterministic stand-in (doc_id % 7) so planted dup pairs have
+    UNEQUAL scores and the argmax actually decides."""
+    docs = _docs_with_dups(spark, sf)
+    scored = docs.select(
+        "doc_id", (F.col("doc_id") % 7).cast("double").alias("score"))
+    pairs = DD.lsh_candidate_pairs(docs, "text", "doc_id")
+    return CC.dedup_keep_best(scored, pairs, "doc_id", "score")
+
+
+_MIX_BUDGETS = {"en": 3000, "de": 1000}
+
+
+def q_token_budget_mix(spark, sf):
+    """Data mixing by token budget: per-lang hash-ordered prefix whose
+    running ws-token total stays within the stratum budget; strata
+    without a budget keep nothing."""
+    d = _t(spark, sf, "documents")
+    sized = d.select("doc_id", "lang",
+                     T.ws_token_count_expr(F.col("text")).alias("n_tok"))
+    return SA.take_by_token_budget(sized, "doc_id", "lang", "n_tok",
+                                   _MIX_BUDGETS)
+
+
 def q_embedding_dup_pairs_amp(spark, sf):
     """OR-amplified near-dup pairs, expr-bucket profile (the scale path's
     oracle-checkable configuration: 2 tables of 2^6 = 64 buckets)."""
@@ -1441,6 +1468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "flagship_from_html": q_flagship_from_html,
         "keep_f1": q_keep_f1,
+        "dedup_keep_best": q_dedup_keep_best,
+        "token_budget_mix": q_token_budget_mix,
         "zip_ingest": q_zip_ingest,
         "ivf_trained_topk": q_ivf_trained_topk,
         "incremental_dedup": q_incremental_dedup,
@@ -1487,11 +1516,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f5_time_string": q_f5_time_string,
         "f6_date_arith": q_f6_date_arith,
         "f7_split_kv": q_f7_split_kv,
-        "f8_string_agg": q_f8_string_agg,
-        "f9_contains": q_f9_contains,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r02/r03-driver-green on unchanged code
-        # (f10/f11/f12 rotated out for the html front door + keep_f1)
+        # (f8-f12 rotated out for the round-4 additions: html front
+        # door, keep_f1, dedup_keep_best, token_budget_mix)
+        "f8_string_agg": q_f8_string_agg,
+        "f9_contains": q_f9_contains,
         "f10_img_ext": q_f10_img_ext,
         "f11_ph_num": q_f11_ph_num,
         "f12_json_path": q_f12_json_path,
@@ -1871,6 +1901,17 @@ def oracle_sql() -> dict[str, str]:
             f"(select doc_id from ({_DOCS_WITH_DUPS_SQL}))",
             DD.lsh_candidate_pairs_sql(f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id"),
             "doc_id",
+        ),
+        "dedup_keep_best": CC.dedup_keep_best_sql(
+            f"(select doc_id, cast(doc_id % 7 as double) as score "
+            f"from ({_DOCS_WITH_DUPS_SQL}))",
+            DD.lsh_candidate_pairs_sql(f"({_DOCS_WITH_DUPS_SQL})", "text", "doc_id"),
+            "doc_id", "t.score",
+        ),
+        "token_budget_mix": SA.take_by_token_budget_sql(
+            f"(select doc_id, lang, {T.ws_token_count_sql('text')} as n_tok "
+            f"from documents)",
+            "doc_id", "lang", "n_tok", _MIX_BUDGETS,
         ),
         "embedding_dup_pairs_amp": SIM.embedding_dup_pairs_amplified_sql(
             _EMB_WITH_DUPS_SQL, "embedding", "vec_id", threshold=0.95,

@@ -100,6 +100,21 @@ def main() -> None:
     _count(filter_scrub_pipeline(pages, CFG, use_model_udfs=False).df.filter("keep"))
     timings["q2_pipeline_column_only"] = t() - t0
 
+    # q9: html→text extraction at corpus scale (the crawl front door —
+    # pure codegen regexp chain, no shuffle, no Python)
+    from social_media_pii_scrubber_spark.functions.html import html_text_expr
+    t0 = t()
+    _count(pages.select(html_text_expr(F.col("html")).alias("et"))
+           .filter(F.length("et") > 0))
+    timings["q9_html_extract"] = t() - t0
+
+    # q9b: flagship in the crawl configuration — extraction as stage 0
+    # over html:binary, then the full column-only filter+scrub
+    t0 = t()
+    _count(filter_scrub_pipeline(pages.drop("text"), CFG,
+                                 from_html=True).df.filter("keep"))
+    timings["q9b_flagship_from_html"] = t() - t0
+
     # q3: exact dedup at corpus scale
     t0 = t()
     _count(DD.exact_dedup_fast(pages, "text", "url"))

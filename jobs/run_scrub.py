@@ -50,6 +50,10 @@ def parse_args(argv=None):
     p.add_argument("--last-date", default="2024-12-31")
     p.add_argument("--use-model-udfs", action="store_true", default=True)
     p.add_argument("--no-model-udfs", dest="use_model_udfs", action="store_false")
+    p.add_argument("--from-html", action="store_true",
+                   help="extract text from the html:binary column as "
+                        "stage 0 (crawl front door; ignores any "
+                        "pre-extracted text column)")
     p.add_argument("--ner", action="store_true",
                    help="apply the NER scrub stage (pandas UDF)")
     p.add_argument("--toxicity", action="store_true",
@@ -73,6 +77,7 @@ def main(argv=None) -> None:
     result = filter_scrub_pipeline(
         pages, cfg, use_model_udfs=args.use_model_udfs, use_ner=args.ner,
         use_toxicity=args.toxicity, with_observe=True,
+        from_html=args.from_html,
     )
     stats = write_with_checkpoints(
         result.df, args.output, n_buckets=args.buckets

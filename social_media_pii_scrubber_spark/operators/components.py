@@ -194,3 +194,63 @@ def dedup_keep_list_sql(table_sql: str, pairs_sql: str, id_col: str) -> str:
         f"(select id from cc where id != cluster_id) as keep_dedup "
         f"from {table_sql} t"
     )
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, id_col: str,
+                    score_col: str,
+                    max_iterations: int = 20,
+                    checkpoint: str = "local") -> DataFrame:
+    """Quality-aware survivor selection: within each near-dup cluster
+    keep the HIGHEST-``score_col`` row (tie → lowest id) instead of the
+    arbitrary min-id representative — the choice a training-data
+    pipeline actually wants (drop the boilerplate-laden mirror, keep
+    the cleanest copy).
+
+    Scale shape: components as in ``dedup_keep_list``; survivor choice
+    is one partial-aggregated ``max(struct(score, -id))`` per cluster
+    (no window/sort), then a plain survivor join — never broadcast by
+    hint, the cluster count grows with the corpus. ``id_col`` must be
+    numeric (negation is the deterministic tie-breaker).
+    """
+    comp = connected_components(pairs, max_iterations=max_iterations,
+                                checkpoint=checkpoint)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s")),
+        on="id",
+    )
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("_s"), (-F.col("id")).alias("_nid")))
+             .alias("_b"))
+        .select((-F.col("_b._nid")).alias(id_col))
+        .withColumn("_survivor", F.lit(True))
+    )
+    clustered = comp.select(F.col("id").alias(id_col)) \
+        .withColumn("_clustered", F.lit(True))
+    return (
+        df.join(clustered, on=id_col, how="left")
+        .join(best, on=id_col, how="left")
+        .withColumn(
+            "keep_dedup",
+            F.col("_clustered").isNull() | F.col("_survivor").isNotNull(),
+        )
+        .drop("_clustered", "_survivor")
+    )
+
+
+def dedup_keep_best_sql(table_sql: str, pairs_sql: str, id_col: str,
+                        score_expr: str) -> str:
+    """DuckDB twin of dedup_keep_best (window rendering — the oracle
+    form; Spark uses the order-free max(struct) form)."""
+    cc = connected_components_sql(pairs_sql)
+    return (
+        f"with cc as ({cc}), "
+        f"scored as (select cc.id, cc.cluster_id, {score_expr} as s "
+        f"  from cc join {table_sql} t on t.{id_col} = cc.id), "
+        f"best as (select id from ("
+        f"  select id, row_number() over (partition by cluster_id "
+        f"    order by s desc, id asc) as rn from scored) where rn = 1) "
+        f"select t.*, (t.{id_col} not in (select id from cc) "
+        f"or t.{id_col} in (select id from best)) as keep_dedup "
+        f"from {table_sql} t"
+    )

@@ -153,6 +153,64 @@ def cap_per_key_sql(table_sql: str, key_col: str, n: int, order_col: str) -> str
     )
 
 
+def take_by_token_budget(df: DataFrame, key_col: str, strata_col: str,
+                         token_col: str, budgets: dict[str, int],
+                         seed: int = 11) -> DataFrame:
+    """Data mixing: fill each stratum's TOKEN budget deterministically.
+
+    Training mixes are specified in tokens per source/language ("100B
+    en, 30B de, …"), not row rates — this operator keeps, per stratum,
+    the hash-ordered prefix of rows whose running token total stays
+    within the stratum's budget. Hash order (portable md5 prefix of the
+    key, same convention as sample_by_hash) makes the selection
+    layout-independent and stable across reruns; strata without a
+    budget keep nothing.
+
+    Adds ``cum_tokens`` (running total including the row) and
+    ``keep_mix``. One shuffle on the stratum + a per-stratum sort (the
+    window). At 10^12 rows with few strata that sort is the cost: the
+    scale path is a two-pass approximation — aggregate per-stratum
+    token totals, convert budgets to rates, ``stratified_sample_by_
+    hash``, then (optionally) this exact operator on the ~budget-sized
+    survivor set to trim the overshoot."""
+    h = _hash_prefix_expr(F.col(key_col), seed)
+    mapping = F.create_map(*[F.lit(x) for kv in budgets.items() for x in kv])
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(h.asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("cum_tokens", cum)
+        .withColumn(
+            "keep_mix",
+            F.coalesce(F.col("cum_tokens") <= mapping[F.col(strata_col)],
+                       F.lit(False)),
+        )
+    )
+
+
+def take_by_token_budget_sql(table_sql: str, key_col: str, strata_col: str,
+                             token_col: str, budgets: dict[str, int],
+                             seed: int = 11) -> str:
+    cases = " ".join(
+        f"when '{s}' then {b}" for s, b in budgets.items()
+    )
+    budget = f"(case {strata_col} {cases} else null end)"
+    # cast: DuckDB sum(BIGINT) -> HUGEINT; the driver's value hash is
+    # type-sensitive (repo invariant — see pivots.py)
+    cum = (
+        f"cast(sum(cast({token_col} as bigint)) over (partition by {strata_col} "
+        f"order by {_hash_prefix_sql(key_col, seed)} asc, {key_col} asc "
+        f"rows between unbounded preceding and current row) as bigint)"
+    )
+    return (
+        f"select * , coalesce(cum_tokens <= {budget}, false) as keep_mix "
+        f"from (select *, {cum} as cum_tokens from {table_sql})"
+    )
+
+
 def train_char_lm(df: DataFrame, text_col: str,
                   oov_count: int = 1) -> DataFrame:
     """Byte-unigram LM training: (code, logprob) from corpus counts.

@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from social_media_pii_scrubber_spark.operators.components import (
-    connected_components, dedup_keep_list,
+    connected_components, dedup_keep_best, dedup_keep_list,
 )
 
 
@@ -100,3 +100,32 @@ def test_dedup_keep_list_flags(spark):
            dedup_keep_list(df, pairs, "doc_id").collect()}
     # representatives (min per cluster) and untouched rows keep
     assert got == {1: True, 2: False, 3: False, 10: True, 11: False, 50: True}
+
+
+def test_dedup_keep_best_survivor_selection(spark):
+    """argmax(score) survives per cluster; score tie → min id; rows in
+    no cluster always keep."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 99],
+        "score": [5.0, 9.0, 9.0, 1.0, 2.0, 0.0],
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame({
+        "id_a": [1, 2, 10], "id_b": [2, 3, 11],
+    }))
+    kept = {r.doc_id for r in dedup_keep_best(df, pairs, "doc_id", "score")
+            .filter("keep_dedup").collect()}
+    # cluster {1,2,3}: scores 5,9,9 → tie at 9 → min id 2
+    # cluster {10,11}: 11 has the higher score
+    # 99 untouched by any pair → kept
+    assert kept == {2, 11, 99}
+
+
+def test_dedup_keep_best_equal_scores_matches_min_id(spark):
+    """With a constant score the survivor degrades to min id — the
+    keep_list semantics."""
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [7, 8, 9], "score": [1.0, 1.0, 1.0]}))
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [7, 8], "id_b": [8, 9]}))
+    kept = {r.doc_id for r in dedup_keep_best(df, pairs, "doc_id", "score")
+            .filter("keep_dedup").collect()}
+    assert kept == {7}

@@ -91,3 +91,46 @@ def test_train_char_lm_is_a_distribution(spark):
     # smoothed probs of SEEN chars sum to < 1 (mass reserved for unseen)
     total = sum(math.exp(r.logprob) for r in rows)
     assert 0.9 < total <= 1.0
+
+
+class TestTokenBudgetMix:
+    def _df(self, spark):
+        return spark.createDataFrame(pd.DataFrame({
+            "doc_id": list(range(12)),
+            "lang": ["en"] * 8 + ["de"] * 2 + ["fr"] * 2,
+            "n_tok": [100] * 12,
+        }))
+
+    def test_budget_bites_and_cum_is_inclusive(self, spark):
+        got = SA.take_by_token_budget(
+            self._df(spark), "doc_id", "lang", "n_tok",
+            {"en": 350, "de": 1000}).collect()
+        by = {}
+        for r in got:
+            by.setdefault(r.lang, []).append(r)
+        # en: 8 docs x 100 tok against a 350 budget → exactly 3 kept
+        # (cum is inclusive: the 4th would reach 400 > 350)
+        assert sum(r.keep_mix for r in by["en"]) == 3
+        # de fits entirely
+        assert all(r.keep_mix for r in by["de"])
+        # fr has no budget → keeps nothing
+        assert not any(r.keep_mix for r in by["fr"])
+        # cum_tokens within a stratum is a permutation of 100..800
+        assert sorted(r.cum_tokens for r in by["en"]) == [
+            100 * i for i in range(1, 9)]
+
+    def test_layout_independent(self, spark):
+        base = self._df(spark)
+        a = {(r.doc_id, r.keep_mix) for r in SA.take_by_token_budget(
+            base, "doc_id", "lang", "n_tok", {"en": 350}).collect()}
+        b = {(r.doc_id, r.keep_mix) for r in SA.take_by_token_budget(
+            base.repartition(7).sortWithinPartitions("n_tok"),
+            "doc_id", "lang", "n_tok", {"en": 350}).collect()}
+        assert a == b
+
+    def test_oversized_first_row_dropped(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1], "lang": ["en"], "n_tok": [500]}))
+        got = SA.take_by_token_budget(
+            df, "doc_id", "lang", "n_tok", {"en": 400}).collect()
+        assert not got[0].keep_mix
