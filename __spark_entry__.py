@@ -29,6 +29,7 @@ from social_media_pii_scrubber_spark.operators import dates as D
 from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators import contamination as CT
 from social_media_pii_scrubber_spark.operators import dedup as DD
+from social_media_pii_scrubber_spark.operators import dsir as DS
 from social_media_pii_scrubber_spark.operators import evaluation as EV
 from social_media_pii_scrubber_spark.operators import joins as J
 from social_media_pii_scrubber_spark.operators import lines as LN
@@ -1163,6 +1164,60 @@ def q_token_budget_mix(spark, sf):
                                    _MIX_BUDGETS)
 
 
+def _dsir_fp(col, name):
+    """4-dp fixed-point bigint projection for DSIR's float outputs:
+    both engines sum the same doubles in different orders (~1e-12
+    relative drift), so the hash compares round(x*1e4) integers —
+    boundary-hit probability ~1e-7 per value vs ~1e-4 at micro-units."""
+    return F.round(col * 10000.0).cast("bigint").alias(name)
+
+
+def _dsir_weights_df(spark, sf):
+    """Shared DSIR pipeline: target = English docs, source = full
+    corpus; per-doc log importance weight over 256 hashed-ngram
+    buckets (oracle profile)."""
+    d = _t(spark, sf, "documents")
+    sdist = DS.bucket_distribution(d, "text")
+    tdist = DS.bucket_distribution(d.filter(F.col("lang") == "en"), "text")
+    ratio = DS.log_ratio(tdist, sdist)
+    return DS.dsir_weights(d, "text", "doc_id", ratio)
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): score every source
+    doc by how much its hashed-ngram profile looks like the target
+    (here: the English subset). logw projected to 4-dp fixed point —
+    cross-engine float sums differ in last ulps."""
+    return _dsir_weights_df(spark, sf).select(
+        "doc_id", _dsir_fp(F.col("logw"), "logw_fp"))
+
+
+def q_dsir_topk(spark, sf):
+    """DSIR Gumbel-top-k resampling: k docs drawn ∝ exp(logw) without
+    replacement, deterministic (Gumbel noise derived from md5(doc_id))
+    — the selection stage of importance resampling."""
+    top = DS.dsir_topk(_dsir_weights_df(spark, sf), "doc_id", k=25)
+    return top.select(
+        "doc_id",
+        _dsir_fp(F.col("logw"), "logw_fp"),
+        _dsir_fp(F.col("gumbel_key"), "key_fp"),
+    )
+
+
+def _dsir_weights_sql() -> str:
+    sdist = DS.bucket_distribution_sql("documents", "text")
+    tdist = DS.bucket_distribution_sql(
+        "(select text from documents where lang = 'en')", "text")
+    ratio = DS.log_ratio_sql(tdist, sdist)
+    # left-join back to documents: DuckDB's unnest of an empty ngram
+    # list drops the doc while Spark's explode_outer keeps it at logw=0
+    w = DS.dsir_weights_sql("documents", "text", "doc_id", ratio)
+    return (
+        f"select d.doc_id, coalesce(w.logw, 0.0) as logw "
+        f"from documents d left join ({w}) w using (doc_id)"
+    )
+
+
 def q_embedding_dup_pairs_amp(spark, sf):
     """OR-amplified near-dup pairs, expr-bucket profile (the scale path's
     oracle-checkable configuration: 2 tables of 2^6 = 64 buckets)."""
@@ -1450,11 +1505,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     projected hashable (kmeans_centroids, media_features); (b) new
     round-4 entries (html_extract + flagship_from_html — the crawl
     front door, byte-identical-extraction invariant — plus zip_ingest,
-    ivf_trained_topk) and incremental_dedup
+    ivf_trained_topk, dsir_weights + dsir_topk — DSIR hashed-ngram
+    importance resampling) and incremental_dedup
     whose oracle SQL changed; (c) the pipelines whose code was touched
     this round (scrub seam → clean_text/ner/pii/flagships; lines.py
     anchor → c4/line_dedup/web_preprocess); (d) the 11 entries the r03
-    marker bug left unchecked since r02; (e) the 24-entry r02 tail, all
+    marker bug left unchecked since r02; (e) the r02 tail (f6/f7 rotated just below the boundary to
+    make room for DSIR), all
     last verified in CORRECTNESS_r02. The rotated-out tail (51+) is all
     r03-driver-green on unchanged code (verdicts on record in
     CORRECTNESS_r03.json); media_scrub sits there permanently — it is
@@ -1473,6 +1530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zip_ingest": q_zip_ingest,
         "ivf_trained_topk": q_ivf_trained_topk,
         "incremental_dedup": q_incremental_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
         # -- (c) code touched this round: scrub seam + line anchor --
         "clean_text_udf": q_clean_text_udf,
         "ner_coverage": q_ner_coverage,
@@ -1514,12 +1573,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u1_union": q_u1_union,
         "f4_parse_when": q_f4_parse_when,
         "f5_time_string": q_f5_time_string,
-        "f6_date_arith": q_f6_date_arith,
-        "f7_split_kv": q_f7_split_kv,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r02/r03-driver-green on unchanged code
-        # (f8-f12 rotated out for the round-4 additions: html front
-        # door, keep_f1, dedup_keep_best, token_budget_mix)
+        # (f6-f12 rotated out for the round-4 additions: html front
+        # door, keep_f1, dedup_keep_best, token_budget_mix, DSIR)
+        "f6_date_arith": q_f6_date_arith,
+        "f7_split_kv": q_f7_split_kv,
         "f8_string_agg": q_f8_string_agg,
         "f9_contains": q_f9_contains,
         "f10_img_ext": q_f10_img_ext,
@@ -1912,6 +1971,15 @@ def oracle_sql() -> dict[str, str]:
             f"(select doc_id, lang, {T.ws_token_count_sql('text')} as n_tok "
             f"from documents)",
             "doc_id", "lang", "n_tok", _MIX_BUDGETS,
+        ),
+        "dsir_weights": (
+            f"select doc_id, cast(round(logw * 10000.0) as bigint) as "
+            f"logw_fp from ({_dsir_weights_sql()})"
+        ),
+        "dsir_topk": (
+            "select doc_id, cast(round(logw * 10000.0) as bigint) as logw_fp, "
+            "cast(round(gumbel_key * 10000.0) as bigint) as key_fp from ("
+            + DS.dsir_topk_sql(_dsir_weights_sql(), "doc_id", k=25) + ")"
         ),
         "embedding_dup_pairs_amp": SIM.embedding_dup_pairs_amplified_sql(
             _EMB_WITH_DUPS_SQL, "embedding", "vec_id", threshold=0.95,

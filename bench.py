@@ -190,6 +190,25 @@ def main() -> None:
     _count(line_dedup(lined, "lined", "url"))
     timings["q8b_line_dedup"] = t() - t0
 
+    # q10: DSIR importance weights over the 1M-page web corpus at the
+    # production bucket width (65536 xxhash64 buckets). The source
+    # distribution is FIT ON A 10% HASH SAMPLE — the at-scale estimator
+    # shape (65536 bucket frequencies don't need the full corpus; DSIR
+    # fits its n-gram models on a subsample) — so the job is ~1.1
+    # corpus explode-passes (0.1 dist + 0.01 target + 1.0 scoring)
+    # instead of 2.1; ratio dimension force-broadcast (bounded by
+    # construction), per-doc sum partial-agg'd
+    from social_media_pii_scrubber_spark.operators import dsir as DSR
+    t0 = t()
+    tgt = pages.filter(F.pmod(F.xxhash64("url"), F.lit(100)) < 1)
+    src_fit = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) < 1)
+    ratio = DSR.log_ratio(
+        DSR.bucket_distribution_fast(tgt, "text"),
+        DSR.bucket_distribution_fast(src_fit, "text"),
+    )
+    _count(DSR.dsir_weights_fast(pages, "text", "url", ratio))
+    timings["q10_dsir_weights"] = t() - t0
+
     # q7: relational mix — join + agg + window over tpch-ish tables
     t0 = t()
     j = (

@@ -21,6 +21,7 @@ from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
 from social_media_pii_scrubber_spark.functions import toxicity as TX
 from social_media_pii_scrubber_spark.functions import urls as U
+from social_media_pii_scrubber_spark.operators import dsir as DS
 from social_media_pii_scrubber_spark.operators import lines as LN
 
 FRAGMENTS = [
@@ -101,6 +102,12 @@ def test_all_twins_agree(spark, corpora):
         LN.c4_line_filter_expr(F.col("t")).alias("c4l"),
         H.html_escape_expr(F.col("t")).alias("hesc"),
         H.html_text_expr(_wrap_expr(F.col("t"))).alias("hrt"),
+        # DSIR twins: ngram list joined to one string (list renderings
+        # differ between numpy and duckdb), bucket hash, gumbel draw
+        # rounded to 6dp (JVM vs C libm log() may differ in last ulp)
+        F.concat_ws("\x1f", DS.ngrams_expr(F.col("t"))).alias("dsng"),
+        DS.bucket_expr(F.col("t")).alias("dsbk"),
+        F.round(DS.gumbel_expr(F.col("t")), 6).alias("dsgu"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -121,7 +128,12 @@ def test_all_twins_agree(spark, corpora):
         f"{U.url_canonicalize_sql('t')} as urlc, "
         f"{LN.c4_line_filter_sql('t')} as c4l, "
         f"{H.html_escape_sql('t')} as hesc, "
-        f"{H.html_text_sql(_wrap_sql('t'))} as hrt from tt"
+        f"{H.html_text_sql(_wrap_sql('t'))} as hrt, "
+        # coalesce: duckdb renders an empty ngram list as NULL here,
+        # Spark's concat_ws as '' — same contents, different rendering
+        f"coalesce(array_to_string({DS.ngrams_sql('t')}, chr(31)), '') as dsng, "
+        f"{DS.bucket_sql('t')} as dsbk, "
+        f"round({DS.gumbel_sql('t')}, 6) as dsgu from tt"
     ).df()
 
     # extractor ∘ synthesizer must be the identity on EVERY fragment —

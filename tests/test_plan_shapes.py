@@ -214,3 +214,23 @@ def test_line_dedup_partial_agg_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_dsir_ratio_join_broadcast_and_partial_sum(spark, sf_dir):
+    """DSIR's per-doc scoring join must broadcast the bounded
+    16^prefix-row ratio dimension (static stats mis-estimate it through
+    the bucket-space join and would shuffle the whole exploded corpus
+    into a SortMergeJoin), and the Σ logr per doc must partial-combine
+    map-side."""
+    from social_media_pii_scrubber_spark.operators import dsir as DS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdist = DS.bucket_distribution(d, "text")
+    tdist = DS.bucket_distribution(d.filter(F.col("lang") == "en"), "text")
+    w = DS.dsir_weights(d, "text", "doc_id", DS.log_ratio(tdist, sdist))
+    p = plan_of(w)
+    ratio_joins = [l for l in p.split("\n")
+                   if "Join" in l and "bucket" in l and "LeftOuter" in l]
+    assert ratio_joins and all("BroadcastHashJoin" in l for l in ratio_joins), (
+        ratio_joins or p[:3000])
+    assert "partial_sum" in p, p[:3000]
