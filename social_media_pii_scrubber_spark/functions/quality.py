@@ -168,9 +168,16 @@ def top_bigram_fraction_expr(text: Column) -> Column:
     """
     w = words_expr(text)
     n = F.size(w)
-    bigrams = F.array_sort(F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat(F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)),
+    # zip_with(w, w[2:]) builds bigrams in O(words): the former
+    # transform(sequence, i -> element_at(w, i)...) form re-evaluated
+    # the captured words_expr per element — O(words²) (HOF bodies get
+    # no CSE; see functions/text.py let_expr). zip_with pads the
+    # shorter side with null; the trailing (w_n, null) concat is null
+    # and filtered out.
+    bigrams = F.array_sort(F.filter(
+        F.zip_with(w, F.slice(w, 2, F.greatest(n, F.lit(1))),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
     ))
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")

@@ -16,6 +16,23 @@ from pyspark.sql import functions as F
 VALID_TYPES = [".bmp", ".jpeg", ".jpg", ".jpe", ".png", ".tiff", ".tif"]
 
 
+def let_expr(value: Column, body) -> Column:
+    """Let-binding for column-expression trees: evaluate ``value`` ONCE
+    per row and reference it cheaply inside ``body`` (a lambda taking
+    the bound Column).
+
+    Why it exists: Spark re-evaluates expression trees captured in a
+    higher-order-function lambda BODY on every lambda invocation —
+    there is no common-subexpression elimination across HOF boundaries
+    — so ``transform(sequence(1, n), i -> f(expensive_expr, i))``
+    costs n × cost(expensive_expr): O(words²) for any per-token loop
+    over a split() (measured 12-52× slowdowns at 200 words/doc). HOF
+    *arguments* are evaluated once per row, so wrapping the value in a
+    1-element array and transforming it turns the lambda variable into
+    an O(1) slot read inside nested lambdas."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 # --- token counting --------------------------------------------------------
 
 def ws_token_count_expr(text: Column) -> Column:

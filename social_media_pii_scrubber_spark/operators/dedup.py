@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint_expr, fingerprint_fast_expr
+from ..functions.text import fingerprint_expr, fingerprint_fast_expr, let_expr
 
 SHINGLE_K = 3          # words per shingle
 
@@ -87,16 +87,23 @@ def exact_dedup_fast(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # --- shingles / minhash -----------------------------------------------------
 
 def shingles_expr(text: Column, k: int = SHINGLE_K) -> Column:
-    """Array of k-word shingles (distinct), lowercase whitespace tokens."""
-    w = F.split(F.trim(F.lower(text)), r"\s+")
-    n = F.size(w)
-    sh = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.array_join(F.slice(w, i, k), " "),
-    )
-    # guard: Spark's sequence(1, 0) counts DOWN; short docs get [] instead
-    empty = F.array().cast("array<string>")
-    return F.when(n >= k, F.array_distinct(sh)).otherwise(empty)
+    """Array of k-word shingles (distinct), lowercase whitespace tokens.
+
+    let-bound: the per-start slice lambda must reference the token
+    array as a lambda variable, not re-inline the split() (which Spark
+    re-evaluates per element — O(words²), measured 12× at 200
+    words/doc; see functions/text.py let_expr)."""
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        sh = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        )
+        # guard: Spark's sequence(1, 0) counts DOWN; short docs get []
+        empty = F.array().cast("array<string>")
+        return F.when(n >= k, F.array_distinct(sh)).otherwise(empty)
+
+    return let_expr(F.split(F.trim(F.lower(text)), r"\s+"), body)
 
 
 def shingles_sql(text: str, k: int = SHINGLE_K) -> str:
@@ -455,16 +462,20 @@ SUBSTR_STRIDE = 5      # window start stride
 
 
 def _window_hashes_expr(text: Column, window: int, stride: int) -> Column:
-    """Array of md5 hashes of strided token windows (portable)."""
-    w = F.split(F.trim(F.lower(text)), r"\s+")
-    n = F.size(w)
-    starts = F.sequence(F.lit(1), n - (window - 1), F.lit(stride))
-    hashes = F.transform(
-        starts, lambda i: F.md5(F.array_join(F.slice(w, i, window), " ")
-                                .cast("binary"))
-    )
-    empty = F.array().cast("array<string>")
-    return F.when(n >= window, hashes).otherwise(empty)
+    """Array of md5 hashes of strided token windows (portable).
+    let-bound like shingles_expr — the strided slice lambda must not
+    re-inline the split()."""
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        starts = F.sequence(F.lit(1), n - (window - 1), F.lit(stride))
+        hashes = F.transform(
+            starts, lambda i: F.md5(F.array_join(F.slice(w, i, window), " ")
+                                    .cast("binary"))
+        )
+        empty = F.array().cast("array<string>")
+        return F.when(n >= window, hashes).otherwise(empty)
+
+    return let_expr(F.split(F.trim(F.lower(text)), r"\s+"), body)
 
 
 def substring_dup_stats(df: DataFrame, text_col: str, id_col: str,

@@ -26,16 +26,23 @@ def chunk_text(df: DataFrame, text_col: str, id_col: str,
     """(id, chunk_idx, chunk_text, n_tokens): strided token windows."""
     assert 0 <= overlap < max_tokens
     stride = max_tokens - overlap
-    w = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    n = F.size(w)
-    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            F.array_join(F.slice(w, s, max_tokens), " ").alias("chunk_text"),
-            F.size(F.slice(w, s, max_tokens)).alias("n_tokens"),
-        ),
-    )
+    from ..functions.text import let_expr
+
+    # let-bound: the per-chunk slice lambda must reference the token
+    # array as a lambda variable, not re-inline the split() (Spark
+    # re-evaluates captured trees per element — O(words²/stride))
+    def body(w):
+        n = F.size(w)
+        starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                F.array_join(F.slice(w, s, max_tokens), " ").alias("chunk_text"),
+                F.size(F.slice(w, s, max_tokens)).alias("n_tokens"),
+            ),
+        )
+
+    chunks = let_expr(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), body)
     return df.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
     ).select(
