@@ -29,6 +29,7 @@ from social_media_pii_scrubber_spark.operators import dates as D
 from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators import contamination as CT
 from social_media_pii_scrubber_spark.operators import dedup as DD
+from social_media_pii_scrubber_spark.operators import classifier as CL
 from social_media_pii_scrubber_spark.operators import dsir as DS
 from social_media_pii_scrubber_spark.operators import evaluation as EV
 from social_media_pii_scrubber_spark.operators import joins as J
@@ -1218,6 +1219,25 @@ def _dsir_weights_sql() -> str:
     )
 
 
+def q_quality_classifier(spark, sf):
+    """Hashed-ngram linear quality classifier inference (fastText/
+    DCLM-style supervised filter) with deterministic md5-derived
+    weights — the oracle-checkable stand-in for a trained model
+    (trained weights enter as literals, like IVF's centroids; the
+    training loop is value-checked in tests/test_classifier.py).
+    logit projected to 4-dp fixed point; keep decided on the ROUNDED
+    value so the boolean is cross-engine stable."""
+    d = _t(spark, sf, "documents")
+    out = CL.classifier_score(
+        d, "text", "doc_id",
+        CL.hash_weights_table(spark), bias=-0.25)
+    return out.select(
+        "doc_id",
+        _dsir_fp(F.col("logit"), "logit_fp"),
+        (F.round(F.col("logit") * 10000.0).cast("bigint") > 0).alias("keep"),
+    )
+
+
 def q_embedding_dup_pairs_amp(spark, sf):
     """OR-amplified near-dup pairs, expr-bucket profile (the scale path's
     oracle-checkable configuration: 2 tables of 2^6 = 64 buckets)."""
@@ -1532,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
+        "quality_classifier": q_quality_classifier,
         # -- (c) code touched this round: scrub seam + line anchor --
         "clean_text_udf": q_clean_text_udf,
         "ner_coverage": q_ner_coverage,
@@ -1572,11 +1593,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_sort_limit": q_w3_sort_limit,
         "u1_union": q_u1_union,
         "f4_parse_when": q_f4_parse_when,
-        "f5_time_string": q_f5_time_string,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r02/r03-driver-green on unchanged code
-        # (f6-f12 rotated out for the round-4 additions: html front
-        # door, keep_f1, dedup_keep_best, token_budget_mix, DSIR)
+        # (f5-f12 rotated out for the round-4 additions: html front
+        # door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
+        # quality_classifier)
+        "f5_time_string": q_f5_time_string,
         "f6_date_arith": q_f6_date_arith,
         "f7_split_kv": q_f7_split_kv,
         "f8_string_agg": q_f8_string_agg,
@@ -1971,6 +1993,12 @@ def oracle_sql() -> dict[str, str]:
             f"(select doc_id, lang, {T.ws_token_count_sql('text')} as n_tok "
             f"from documents)",
             "doc_id", "lang", "n_tok", _MIX_BUDGETS,
+        ),
+        "quality_classifier": (
+            "select doc_id, cast(round(logit * 10000.0) as bigint) as "
+            "logit_fp, cast(round(logit * 10000.0) as bigint) > 0 as keep "
+            "from (" + CL.classifier_score_sql(
+                "documents", "text", "doc_id", bias=-0.25) + ")"
         ),
         "dsir_weights": (
             f"select doc_id, cast(round(logw * 10000.0) as bigint) as "
