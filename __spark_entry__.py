@@ -1462,6 +1462,21 @@ def q_perplexity_udf(spark, sf):
     return d.select("doc_id", perplexity_pandas_udf()(F.col("text")).alias("perplexity"))
 
 
+def q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail (Wenzek et al. 2020): per-language
+    equal-count perplexity terciles — the classic quality partition of
+    a crawl. Ordering compares the raw doubles: the perplexity UDF and
+    its scalar fixture are bit-identical (perplexity_udf passes the
+    driver's value hash unrounded), so ranks agree cross-engine; ties
+    break on doc_id."""
+    d = _t(spark, sf, "documents")
+    ppl = d.select(
+        "doc_id", "lang",
+        perplexity_pandas_udf()(F.col("text")).alias("ppl"))
+    return SA.score_buckets(ppl, "ppl", "doc_id", strata_col="lang") \
+        .select("doc_id", "lang", "bucket")
+
+
 def q_media_scrub(spark, sf):
     _pin_session(spark)
     pages = webpages_from_documents(spark, sf)
@@ -1554,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_topk": q_dsir_topk,
         "quality_classifier": q_quality_classifier,
+        "ccnet_buckets": q_ccnet_buckets,
         # -- (c) code touched this round: scrub seam + line anchor --
         "clean_text_udf": q_clean_text_udf,
         "ner_coverage": q_ner_coverage,
@@ -1593,12 +1609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_week_bins": q_w2_week_bins,
         "w3_sort_limit": q_w3_sort_limit,
         "u1_union": q_u1_union,
-        "f4_parse_when": q_f4_parse_when,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r02/r03-driver-green on unchanged code
-        # (f5-f12 rotated out for the round-4 additions: html front
+        # (f4-f12 rotated out for the round-4 additions: html front
         # door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
-        # quality_classifier)
+        # quality_classifier, ccnet_buckets)
+        "f4_parse_when": q_f4_parse_when,
         "f5_time_string": q_f5_time_string,
         "f6_date_arith": q_f6_date_arith,
         "f7_split_kv": q_f7_split_kv,
@@ -2027,6 +2043,18 @@ def oracle_sql() -> dict[str, str]:
         # media_scrub stays rows-only (binary kernel, pytest-locked).
         "perplexity_udf": OF.fixture_sql(
             OF.ensure_perplexity_fixture, ORACLE_SF, "doc_id, perplexity"
+        ),
+        "ccnet_buckets": (
+            "select doc_id, lang, bucket from ("
+            + SA.score_buckets_sql(
+                "(select d.doc_id, d.lang, p.perplexity as ppl "
+                "from documents d join ("
+                + OF.fixture_sql(OF.ensure_perplexity_fixture, ORACLE_SF,
+                                 "doc_id, perplexity")
+                + ") p using (doc_id))",
+                "ppl", "doc_id", strata_col="lang",
+            )
+            + ")"
         ),
         "clean_text_udf": OF.fixture_sql(
             OF.ensure_clean_text_fixture, ORACLE_SF, "url, cleaned"

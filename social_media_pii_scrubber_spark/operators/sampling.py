@@ -249,3 +249,71 @@ def train_char_lm_sql(table_sql: str, text_col: str, oov_count: int = 1) -> str:
         f"select code, round(ln((cnt + {oov_count}) * 1.0 / (t + {oov_count} * v)), 6) "
         f"as logprob from counts, tot"
     )
+
+
+# --- CCNet-style score bucketing (head / middle / tail) ---------------------
+
+CCNET_LABELS = ("head", "middle", "tail")
+
+
+def _bucket_labels(n_buckets: int, labels) -> list[str]:
+    if labels is not None:
+        assert len(labels) == n_buckets
+        return list(labels)
+    return list(CCNET_LABELS) if n_buckets == 3 else [
+        str(i) for i in range(n_buckets)]
+
+
+def score_buckets(df: DataFrame, score_col: str, id_col: str,
+                  strata_col: str | None = None, n_buckets: int = 3,
+                  labels=None) -> DataFrame:
+    """CCNet-style equal-count quality buckets (Wenzek et al. 2020:
+    per-language perplexity head/middle/tail): bucket index =
+    floor(n · (rank−1) / count) within the stratum, rank ordered by
+    (score asc, id asc) so ties are deterministic. Low score → 'head'
+    (CCNet: low perplexity = closest to the LM's training domain).
+
+    Exact-rank form — one partitioned sort window per stratum; the
+    oracle profile. At 10^12 docs use bucket_by_thresholds with
+    quantile thresholds estimated from a sample (the shape CCNet
+    itself uses) — comparison tagging, no global sort."""
+    part = [strata_col] if strata_col else []
+    wrank = Window.partitionBy(*part).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc())
+    wcnt = Window.partitionBy(*part)
+    idx = F.floor(
+        F.lit(n_buckets) * (F.row_number().over(wrank) - 1)
+        / F.count(F.lit(1)).over(wcnt)
+    ).cast("int")
+    lab = _bucket_labels(n_buckets, labels)
+    return df.withColumn(
+        "bucket",
+        F.element_at(F.array(*[F.lit(x) for x in lab]), idx + 1),
+    )
+
+
+def score_buckets_sql(table_sql: str, score_col: str, id_col: str,
+                      strata_col: str | None = None, n_buckets: int = 3,
+                      labels=None) -> str:
+    lab = _bucket_labels(n_buckets, labels)
+    arr = "[" + ", ".join(f"'{x}'" for x in lab) + "]"
+    part = f"partition by {strata_col} " if strata_col else ""
+    return (
+        f"select *, ({arr})[cast(floor({n_buckets} * "
+        f"(row_number() over ({part}order by {score_col} asc, {id_col} asc)"
+        f" - 1) / (count(*) over ({part.rstrip() or ''}))) as int) + 1] "
+        f"as bucket from {table_sql}"
+    )
+
+
+def bucket_by_thresholds(df: DataFrame, score_col: str,
+                         thresholds: list[float], labels=None) -> DataFrame:
+    """Production bucketing: tag by comparison against precomputed
+    ascending quantile thresholds (len(labels) == len(thresholds)+1;
+    estimate thresholds with df.approxQuantile on a sample — CCNet's
+    own shape). Pure per-row comparisons: no shuffle, no sort."""
+    lab = _bucket_labels(len(thresholds) + 1, labels)
+    expr = F.lit(lab[-1])
+    for t, name in zip(reversed(thresholds), reversed(lab[:-1])):
+        expr = F.when(F.col(score_col) <= t, F.lit(name)).otherwise(expr)
+    return df.withColumn("bucket", expr)

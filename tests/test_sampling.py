@@ -134,3 +134,51 @@ class TestTokenBudgetMix:
         got = SA.take_by_token_budget(
             df, "doc_id", "lang", "n_tok", {"en": 400}).collect()
         assert not got[0].keep_mix
+
+
+class TestScoreBuckets:
+    """CCNet-style head/middle/tail (sampling.score_buckets)."""
+
+    def _df(self, spark):
+        import pandas as pd
+        rows = [(i, "en" if i < 9 else "de", float(i)) for i in range(12)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "lang", "ppl"]),
+            "doc_id long, lang string, ppl double")
+
+    def test_equal_count_terciles_per_stratum(self, spark):
+        from social_media_pii_scrubber_spark.operators.sampling import (
+            score_buckets,
+        )
+        out = {(r.doc_id): r.bucket for r in score_buckets(
+            self._df(spark), "ppl", "doc_id", strata_col="lang").collect()}
+        # en: 9 docs → 3/3/3 by ascending ppl; low ppl = head
+        assert [out[i] for i in range(9)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+        # de: 3 docs → one per bucket
+        assert [out[i] for i in (9, 10, 11)] == ["head", "middle", "tail"]
+
+    def test_tie_break_is_deterministic(self, spark):
+        import pandas as pd
+        from social_media_pii_scrubber_spark.operators.sampling import (
+            score_buckets,
+        )
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [3, 1, 2], "ppl": [1.0, 1.0, 1.0]}),
+            "doc_id long, ppl double")
+        out = {r.doc_id: r.bucket for r in score_buckets(
+            df, "ppl", "doc_id").collect()}
+        assert out == {1: "head", 2: "middle", 3: "tail"}
+
+    def test_thresholds_variant_matches_exact_on_clean_cuts(self, spark):
+        """Where the sample quantiles are exact, comparison tagging must
+        reproduce the rank-based buckets."""
+        from social_media_pii_scrubber_spark.operators.sampling import (
+            bucket_by_thresholds, score_buckets,
+        )
+        df = self._df(spark).filter("lang = 'en'")
+        exact = {r.doc_id: r.bucket for r in score_buckets(
+            df, "ppl", "doc_id").collect()}
+        approx = {r.doc_id: r.bucket for r in bucket_by_thresholds(
+            df, "ppl", [2.0, 5.0]).collect()}
+        assert exact == approx
