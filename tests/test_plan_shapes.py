@@ -234,3 +234,20 @@ def test_dsir_ratio_join_broadcast_and_partial_sum(spark, sf_dir):
     assert ratio_joins and all("BroadcastHashJoin" in l for l in ratio_joins), (
         ratio_joins or p[:3000])
     assert "partial_sum" in p, p[:3000]
+
+
+def test_classifier_score_broadcast_and_partial_sum(spark, sf_dir):
+    """quality classifier inference shares DSIR's scale topology: the
+    bounded weight dimension must broadcast into the scoring join and
+    the per-doc logit sum must partial-combine map-side."""
+    from social_media_pii_scrubber_spark.operators import classifier as CL
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = CL.classifier_score(d, "text", "doc_id",
+                              CL.hash_weights_table(spark), bias=-0.25)
+    p = plan_of(out)
+    joins = [l for l in p.split("\n")
+             if "Join" in l and "bucket" in l and "LeftOuter" in l]
+    assert joins and all("BroadcastHashJoin" in l for l in joins), (
+        joins or p[:3000])
+    assert "partial_sum" in p, p[:3000]
