@@ -21,6 +21,7 @@ from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
 from social_media_pii_scrubber_spark.functions import toxicity as TX
 from social_media_pii_scrubber_spark.functions import urls as U
+from social_media_pii_scrubber_spark.operators import classifier as CLF
 from social_media_pii_scrubber_spark.operators import dsir as DS
 from social_media_pii_scrubber_spark.operators import lines as LN
 
@@ -108,6 +109,7 @@ def test_all_twins_agree(spark, corpora):
         F.concat_ws("\x1f", DS.ngrams_expr(F.col("t"))).alias("dsng"),
         DS.bucket_expr(F.col("t")).alias("dsbk"),
         F.round(DS.gumbel_expr(F.col("t")), 6).alias("dsgu"),
+        F.round(CLF.hash_weight_expr(F.col("t")), 9).alias("clw"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -133,7 +135,8 @@ def test_all_twins_agree(spark, corpora):
         # Spark's concat_ws as '' — same contents, different rendering
         f"coalesce(array_to_string({DS.ngrams_sql('t')}, chr(31)), '') as dsng, "
         f"{DS.bucket_sql('t')} as dsbk, "
-        f"round({DS.gumbel_sql('t')}, 6) as dsgu from tt"
+        f"round({DS.gumbel_sql('t')}, 6) as dsgu, "
+        f"round({CLF.hash_weight_sql('t')}, 9) as clw from tt"
     ).df()
 
     # extractor ∘ synthesizer must be the identity on EVERY fragment —
