@@ -15,10 +15,12 @@ Select pretraining data whose distribution matches a TARGET corpus:
 
 Scale shape: the bucket space is bounded by construction (16^prefix
 buckets — 256 in the oracle profile, 65536 in production), so the
-log-ratio table is a fixed-size dimension: the per-doc score join is
-AQE-broadcastable no matter how large the corpus grows (this is NOT a
-corpus-growing vocabulary — the no-forced-broadcast invariant applies
-to those; here we still leave the join unhinted and let AQE decide).
+log-ratio table is a fixed-size dimension no matter how large the
+corpus grows. The score join FORCE-broadcasts it (this is NOT a
+corpus-growing vocabulary, so the no-forced-broadcast invariant does
+not apply — and static stats mis-estimate the dimension through its
+bucket-space join, planning a corpus-wide shuffle if left unhinted;
+plan-pinned in tests/test_plan_shapes.py).
 Doc scoring is explode → join → per-doc partial-agg sum: two shuffles,
 both reduced map-side. The top-k sort in dsir_topk is the oracle/
 small-k form; at 10^12 docs with a RATE rather than a k, convert the
