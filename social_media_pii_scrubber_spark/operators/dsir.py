@@ -268,6 +268,24 @@ def dsir_topk_sql(weights_sql: str, id_col: str, k: int,
     )
 
 
+def dsir_sample_by_rate(weights: DataFrame, id_col: str, rate: float,
+                        seed: int = 31,
+                        quantile_error: float = 0.01) -> DataFrame:
+    """Rate-based Gumbel selection — the 10^12-doc form of dsir_topk:
+    instead of a global sort-limit, estimate the (1−rate) quantile of
+    the Gumbel-perturbed key (approxQuantile — a driver-side scalar,
+    like k-means' centroid matrix) and keep rows above it. One corpus
+    pass to estimate + one to filter; no global sort. The realized
+    fraction is rate ± the quantile estimator's error. Deterministic
+    for a fixed input (Greenwald-Khanna is data-order-dependent only
+    through partitioning, and the keys themselves are md5-derived)."""
+    assert 0.0 < rate < 1.0
+    keyed = weights.withColumn(
+        "gumbel_key", F.col("logw") + gumbel_expr(F.col(id_col), seed))
+    [thr] = keyed.approxQuantile("gumbel_key", [1.0 - rate], quantile_error)
+    return keyed.filter(F.col("gumbel_key") >= thr)
+
+
 def dsir_weights_python(texts_by_id: dict, target_texts: list,
                         prefix_len: int = BUCKET_PREFIX) -> dict:
     """Scalar reference for tests (independent implementation)."""

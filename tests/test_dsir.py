@@ -125,3 +125,40 @@ class TestTopK:
             top = [r.doc_id for r in DS.dsir_topk(w, "doc_id", 2, seed=seed)
                    .collect()]
             assert 9 in top, seed
+
+
+class TestSampleByRate:
+    """Rate-based Gumbel selection (the no-sort 10^12-doc path)."""
+
+    def _weights(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(5)
+        n = 400
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(n),
+                          "logw": rng.normal(0.0, 1.0, n)}),
+            "doc_id long, logw double")
+
+    def test_realized_fraction_near_rate(self, spark):
+        w = self._weights(spark)
+        got = DS.dsir_sample_by_rate(w, "doc_id", rate=0.25).count()
+        assert 0.15 * 400 <= got <= 0.35 * 400, got
+
+    def test_higher_weight_overselected(self, spark):
+        w = self._weights(spark)
+        sel = DS.dsir_sample_by_rate(w, "doc_id", rate=0.25)
+        joined = w.join(sel.select("doc_id", F.lit(1).alias("s")),
+                        on="doc_id", how="left").collect()
+        rows = sorted(joined, key=lambda r: r.logw)
+        lo = rows[:100]
+        hi = rows[-100:]
+        hit = lambda rs: sum(1 for r in rs if r.s is not None)
+        assert hit(hi) > 2 * hit(lo), (hit(hi), hit(lo))
+
+    def test_deterministic(self, spark):
+        w = self._weights(spark)
+        a = sorted(r.doc_id for r in
+                   DS.dsir_sample_by_rate(w, "doc_id", 0.2).collect())
+        b = sorted(r.doc_id for r in
+                   DS.dsir_sample_by_rate(w, "doc_id", 0.2).collect())
+        assert a == b and len(a) > 0
