@@ -1238,6 +1238,22 @@ def q_quality_classifier(spark, sf):
     )
 
 
+def q_bpe_merges(spark, sf):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the documents corpus: 20 merges learned on the weighted word vocab
+    (one corpus pass, then bounded-vocab iterations). Deterministic
+    (exact counts, lexicographic ties), so the gate compares the exact
+    merge list against the scalar-replication fixture."""
+    from social_media_pii_scrubber_spark.operators.bpe import train_bpe
+
+    d = _t(spark, sf, "documents")
+    merges = train_bpe(d, "text", OF.BPE_FIXTURE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, left string, right string",
+    )
+
+
 def q_embedding_dup_pairs_amp(spark, sf):
     """OR-amplified near-dup pairs, expr-bucket profile (the scale path's
     oracle-checkable configuration: 2 tables of 2^6 = 64 buckets)."""
@@ -1571,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_topk": q_dsir_topk,
         "quality_classifier": q_quality_classifier,
         "ccnet_buckets": q_ccnet_buckets,
+        "bpe_merges": q_bpe_merges,
         # -- (c) code touched this round: scrub seam + line anchor --
         "clean_text_udf": q_clean_text_udf,
         "ner_coverage": q_ner_coverage,
@@ -1609,12 +1626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_distinct": q_a6_distinct,
         "w2_week_bins": q_w2_week_bins,
         "w3_sort_limit": q_w3_sort_limit,
-        "u1_union": q_u1_union,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r02/r03-driver-green on unchanged code
-        # (f4-f12 rotated out for the round-4 additions: html front
+        # (u1/f4-f12 rotated out for the round-4 additions: html front
         # door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
-        # quality_classifier, ccnet_buckets)
+        # quality_classifier, ccnet_buckets, bpe_merges)
+        "u1_union": q_u1_union,
         "f4_parse_when": q_f4_parse_when,
         "f5_time_string": q_f5_time_string,
         "f6_date_arith": q_f6_date_arith,
@@ -2044,6 +2061,10 @@ def oracle_sql() -> dict[str, str]:
         # media_scrub stays rows-only (binary kernel, pytest-locked).
         "perplexity_udf": OF.fixture_sql(
             OF.ensure_perplexity_fixture, ORACLE_SF, "doc_id, perplexity"
+        ),
+        "bpe_merges": OF.fixture_sql(
+            OF.ensure_bpe_fixture, ORACLE_SF,
+            'cast(merge_idx as int) as merge_idx, "left", "right"',
         ),
         "ccnet_buckets": (
             "select doc_id, lang, bucket from ("

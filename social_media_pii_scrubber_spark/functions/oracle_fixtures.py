@@ -316,3 +316,39 @@ def ensure_clean_text_fixture(sf_dir: str) -> str:
         )
         _atomic_write_parquet(pages[["url", "cleaned"]], path)
     return path
+
+
+BPE_FIXTURE_MERGES = 20
+
+
+def ensure_bpe_fixture(sf_dir: str) -> str:
+    """(merge_idx, left, right) via the independent scalar BPE trainer
+    (operators/bpe.py train_bpe_python) over the documents table — the
+    fixture oracle for the iterative, non-SQL-expressible Spark
+    trainer. Exact-integer counts + lexicographic tie-break make the
+    merge list fully deterministic, so the gate compares exact rows."""
+    import duckdb
+    import pandas as pd
+
+    from ..operators.bpe import train_bpe_python
+
+    path = os.path.join(
+        FIXTURE_DIR, f"bpe_{BPE_FIXTURE_MERGES}_{_source_key(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        con = duckdb.connect()
+        texts = [
+            r[0] for r in con.sql(
+                f"select text from '{sf_dir}/documents.parquet'"
+            ).fetchall()
+        ]
+        merges = train_bpe_python(texts, BPE_FIXTURE_MERGES)
+        _atomic_write_parquet(
+            pd.DataFrame({
+                "merge_idx": range(len(merges)),
+                "left": [a for a, _ in merges],
+                "right": [b for _, b in merges],
+            }),
+            path,
+        )
+    return path
