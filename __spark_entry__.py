@@ -1558,8 +1558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     front door, byte-identical-extraction invariant — plus zip_ingest,
     ivf_trained_topk, dsir_weights + dsir_topk — DSIR hashed-ngram
     importance resampling — quality_classifier — supervised
-    hashed-ngram logreg filter — and ccnet_buckets — per-language
-    perplexity head/middle/tail) and incremental_dedup
+    hashed-ngram logreg filter — ccnet_buckets — per-language
+    perplexity head/middle/tail — and bpe_merges — distributed BPE
+    tokenizer training) and incremental_dedup
     whose oracle SQL changed; (c) the pipelines whose code was touched
     this round (scrub seam → clean_text/ner/pii/flagships; lines.py
     anchor → c4/line_dedup/web_preprocess); (d) the 11 entries the r03

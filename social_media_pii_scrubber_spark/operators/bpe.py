@@ -34,15 +34,22 @@ from pyspark.sql import functions as F
 CHECKPOINT_EVERY = 8
 
 
-def word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+def word_vocab(df: DataFrame, text_col: str,
+               min_count: int = 1) -> DataFrame:
     """(w, cnt): lowercase whitespace word types with corpus counts —
-    the one corpus-sized pass."""
-    return (
+    the one corpus-sized pass. At web scale the type inventory is
+    noise-heavy (URLs, hashes, typos); ``min_count`` prunes singleton
+    junk BEFORE the iteration loop — rare types contribute negligible
+    pair mass but dominate the vocab row count."""
+    vocab = (
         df.select(F.explode(F.split(F.trim(F.lower(F.col(text_col))),
                                     r"\s+")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     )
+    if min_count > 1:
+        vocab = vocab.filter(F.col("cnt") >= min_count)
+    return vocab
 
 
 def _pair_counts(tok: DataFrame) -> DataFrame:
@@ -85,12 +92,13 @@ def _apply_merge_expr(syms: Column, a: str, b: str) -> Column:
     )
 
 
-def train_bpe(df: DataFrame, text_col: str, n_merges: int
-              ) -> list[tuple[str, str]]:
+def train_bpe(df: DataFrame, text_col: str, n_merges: int,
+              min_count: int = 1) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges over the corpus. Returns the
     ordered merge list — the model artifact. Stops early if no pair
-    remains."""
-    tok = word_vocab(df, text_col).select(
+    remains. ``min_count`` > 1 is the web-scale profile: prune the
+    crawl's singleton junk types before iterating."""
+    tok = word_vocab(df, text_col, min_count=min_count).select(
         "cnt", F.split(F.col("w"), "").alias("syms"))
     tok = tok.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []

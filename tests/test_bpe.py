@@ -68,3 +68,12 @@ class TestEncode:
         n12 = df.select(F.sum(F.size(B.bpe_encode_expr(F.col("text"), m12)))
                         .alias("n")).collect()[0].n
         assert n12 < n0
+
+
+class TestMinCount:
+    def test_pruned_vocab_ignores_rare_types(self, spark):
+        """min_count=2 must learn from the repeated words only — the
+        singleton junk word's pairs can't win a merge."""
+        texts = ["zz zz zz", "qxj"]  # 'qxj' is a singleton junk type
+        got = B.train_bpe(_df(spark, texts), "text", 2, min_count=2)
+        assert got == [("z", "z")]
