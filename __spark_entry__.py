@@ -1254,6 +1254,17 @@ def q_bpe_merges(spark, sf):
     )
 
 
+def q_semdedup_keep(spark, sf):
+    """SemDeDup (Abbas et al. 2023): semantic dedup = coarse k-means
+    cells (codegen argmax, no shuffle) → exact-cosine self-join within
+    cells only (pair work Σ|cell|², never corpus²) → connected
+    components → min-id keep flags. Planted exact-copy vectors
+    (vec_id+100000) hit cosine 1.0 and are dropped."""
+    return SIM.semdedup_keep(
+        _emb_with_dups(spark, sf), "embedding", "vec_id",
+        SIM.make_centroids(8, 64), threshold=0.95)
+
+
 def q_embedding_dup_pairs_amp(spark, sf):
     """OR-amplified near-dup pairs, expr-bucket profile (the scale path's
     oracle-checkable configuration: 2 tables of 2^6 = 64 buckets)."""
@@ -1589,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "ccnet_buckets": q_ccnet_buckets,
         "bpe_merges": q_bpe_merges,
+        "semdedup_keep": q_semdedup_keep,
         # -- (c) code touched this round: scrub seam + line anchor --
         "clean_text_udf": q_clean_text_udf,
         "ner_coverage": q_ner_coverage,
@@ -1626,12 +1638,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_category_extract": q_a5_category_extract,
         "a6_distinct": q_a6_distinct,
         "w2_week_bins": q_w2_week_bins,
-        "w3_sort_limit": q_w3_sort_limit,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r02/r03-driver-green on unchanged code
-        # (u1/f4-f12 rotated out for the round-4 additions: html front
-        # door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
-        # quality_classifier, ccnet_buckets, bpe_merges)
+        # (w3/u1/f4-f12 rotated out for the round-4 additions: html
+        # front door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
+        # quality_classifier, ccnet_buckets, bpe_merges, semdedup_keep)
+        "w3_sort_limit": q_w3_sort_limit,
         "u1_union": q_u1_union,
         "f4_parse_when": q_f4_parse_when,
         "f5_time_string": q_f5_time_string,
@@ -2044,6 +2056,10 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(round(logw * 10000.0) as bigint) as logw_fp, "
             "cast(round(gumbel_key * 10000.0) as bigint) as key_fp from ("
             + DS.dsir_topk_sql(_dsir_weights_sql(), "doc_id", k=25) + ")"
+        ),
+        "semdedup_keep": SIM.semdedup_keep_sql(
+            _EMB_WITH_DUPS_SQL, "embedding", "vec_id",
+            SIM.make_centroids(8, 64), threshold=0.95,
         ),
         "embedding_dup_pairs_amp": SIM.embedding_dup_pairs_amplified_sql(
             _EMB_WITH_DUPS_SQL, "embedding", "vec_id", threshold=0.95,

@@ -561,3 +561,74 @@ def kmeans_train(df: DataFrame, vec_col: str, n_cells: int, dim: int,
                     new[row["cell"] - 1] = [x / norm for x in mean]
         cents = new
     return cents
+
+
+# --- SemDeDup (Abbas et al. 2023) -------------------------------------------
+
+def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                   centroids: list[list[float]],
+                   threshold: float = 0.95) -> DataFrame:
+    """(id_a, id_b, cosine): semantic near-dup pairs WITHIN coarse
+    clusters — SemDeDup's candidate structure. Cell assignment is a
+    codegen argmax projection (no shuffle); the exact-cosine self-join
+    shuffles on the cell key only, so pair work is Σ|cell|², bounded
+    by the quantizer granularity — never corpus². Centroids are model
+    parameters (train with kmeans_train, pass as literals)."""
+    cells = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"),
+        ivf_cell_expr(F.col(vec_col), centroids).alias("_cell"),
+    )
+    a = cells.select(F.col(id_col).alias("id_a"),
+                     F.col("_v").alias("_va"), "_cell")
+    b = cells.select(F.col(id_col).alias("id_b"),
+                     F.col("_v").alias("_vb"), "_cell")
+    return (
+        a.join(b, on="_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
+                .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semdedup_pairs_sql(table_sql: str, vec_col: str, id_col: str,
+                       centroids: list[list[float]],
+                       threshold: float = 0.95) -> str:
+    cell = ivf_cell_sql(vec_col, centroids)
+    cos = cosine_sql("a._va", "b._vb")
+    return (
+        f"with cells as (select {id_col}, "
+        f"list_transform({vec_col}, x -> cast(x as double)) as _v, "
+        f"{cell} as _cell from {table_sql}), "
+        f"a as (select {id_col} as id_a, _v as _va, _cell from cells), "
+        f"b as (select {id_col} as id_b, _v as _vb, _cell from cells) "
+        f"select id_a, id_b, cosine from (select id_a, id_b, "
+        f"round({cos}, 6) as cosine from a join b using (_cell) "
+        f"where id_a < id_b) where cosine >= {threshold}"
+    )
+
+
+def semdedup_keep(df: DataFrame, vec_col: str, id_col: str,
+                  centroids: list[list[float]],
+                  threshold: float = 0.95) -> DataFrame:
+    """Every row flagged keep/drop: connected components over the
+    within-cluster pair graph, min-id representative kept (the repo's
+    standard dedup decision — components.dedup_keep_list)."""
+    from .components import dedup_keep_list
+
+    pairs = semdedup_pairs(df, vec_col, id_col, centroids, threshold)
+    return dedup_keep_list(
+        df.select(id_col), pairs.select("id_a", "id_b"), id_col)
+
+
+def semdedup_keep_sql(table_sql: str, vec_col: str, id_col: str,
+                      centroids: list[list[float]],
+                      threshold: float = 0.95) -> str:
+    from .components import dedup_keep_list_sql
+
+    pairs = semdedup_pairs_sql(table_sql, vec_col, id_col, centroids,
+                               threshold)
+    return dedup_keep_list_sql(
+        f"(select {id_col} from {table_sql})",
+        f"(select id_a, id_b from ({pairs}))", id_col)

@@ -245,3 +245,36 @@ def test_kmeans_training_improves_objective(spark, sf_dir):
         En = E / np.linalg.norm(E, axis=1, keepdims=True)
         return (En @ Cn.T).max(axis=1).mean()
     assert obj(trained) >= obj(init)
+
+
+class TestSemDeDup:
+    """SemDeDup (Abbas et al. 2023): within-cluster exact-cosine dedup."""
+
+    def test_exact_copies_dropped_originals_kept(self, spark, embeddings):
+        e = embeddings.select("vec_id", "embedding")
+        dups = e.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+        out = {r.vec_id: r.keep_dedup for r in SIM.semdedup_keep(
+            e.unionByName(dups), "embedding", "vec_id",
+            SIM.make_centroids(8, DIM), threshold=0.95).collect()}
+        # identical vectors always share a cell: every planted copy is
+        # dropped, its min-id original kept
+        for i in range(10):
+            assert out[i] is True, i
+            assert out[i + 100000] is False, i
+        # untouched tail is kept
+        assert all(out[i] for i in out if 10 <= i < 100000)
+
+    def test_pair_work_is_within_cell_only(self, spark, embeddings):
+        """The candidate join must key on the cell — pairs across
+        different cells never appear, even above threshold (SemDeDup's
+        documented tradeoff vs all-pairs)."""
+        e = embeddings.select("vec_id", "embedding")
+        cents = SIM.make_centroids(8, DIM)
+        pairs = SIM.semdedup_pairs(e, "embedding", "vec_id", cents,
+                                   threshold=-1.0)
+        cells = {r.vec_id: r.c for r in e.select(
+            "vec_id", SIM.ivf_cell_expr(F.col("embedding"), cents)
+            .alias("c")).collect()}
+        for r in pairs.collect():
+            assert cells[r.id_a] == cells[r.id_b]
