@@ -1238,6 +1238,27 @@ def q_quality_classifier(spark, sf):
     )
 
 
+_NFD_SUFFIX = " cafe\u0301 \u212bngstro\u0308m"  # NFD e-acute, angstrom sign, NFD o-umlaut
+_NFD_SUFFIX_SQL = (
+    "' cafe' || chr(769) || ' ' || chr(8491) || 'ngstro' || chr(776) || 'm'"
+)
+
+
+def q_nfc_normalize(spark, sf):
+    """Unicode NFC canonicalization (CCNet's pre-scoring normalize):
+    planted NFD/compatibility codepoints on every doc; the oracle twin
+    is DuckDB's NATIVE nfc_normalize — exact cross-library Unicode
+    agreement, not a fixture."""
+    d = _t(spark, sf, "documents")
+    raw = F.concat(F.col("text"), F.lit(_NFD_SUFFIX))
+    norm = T.nfc_normalize_udf()(raw)
+    return d.select(
+        "doc_id",
+        norm.alias("normalized"),
+        (norm != raw).alias("changed"),
+    )
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents corpus: 20 merges learned on the weighted word vocab
@@ -1601,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "bpe_merges": q_bpe_merges,
         "semdedup_keep": q_semdedup_keep,
+        "nfc_normalize": q_nfc_normalize,
         # -- (c) code touched this round: scrub seam + line anchor --
         "clean_text_udf": q_clean_text_udf,
         "ner_coverage": q_ner_coverage,
@@ -1637,12 +1659,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_groupby_count": q_a2_groupby_count,
         "a5_category_extract": q_a5_category_extract,
         "a6_distinct": q_a6_distinct,
-        "w2_week_bins": q_w2_week_bins,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r02/r03-driver-green on unchanged code
-        # (w3/u1/f4-f12 rotated out for the round-4 additions: html
+        # (w2/w3/u1/f4-f12 rotated out for the round-4 additions: html
         # front door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
-        # quality_classifier, ccnet_buckets, bpe_merges, semdedup_keep)
+        # quality_classifier, ccnet_buckets, bpe_merges, semdedup_keep,
+        # nfc_normalize)
+        "w2_week_bins": q_w2_week_bins,
         "w3_sort_limit": q_w3_sort_limit,
         "u1_union": q_u1_union,
         "f4_parse_when": q_f4_parse_when,
@@ -2056,6 +2079,12 @@ def oracle_sql() -> dict[str, str]:
             "select doc_id, cast(round(logw * 10000.0) as bigint) as logw_fp, "
             "cast(round(gumbel_key * 10000.0) as bigint) as key_fp from ("
             + DS.dsir_topk_sql(_dsir_weights_sql(), "doc_id", k=25) + ")"
+        ),
+        "nfc_normalize": (
+            f"select doc_id, {T.nfc_normalize_sql('raw')} as normalized, "
+            f"{T.nfc_normalize_sql('raw')} != raw as changed from "
+            f"(select doc_id, text || {_NFD_SUFFIX_SQL} as raw "
+            f"from documents)"
         ),
         "semdedup_keep": SIM.semdedup_keep_sql(
             _EMB_WITH_DUPS_SQL, "embedding", "vec_id",

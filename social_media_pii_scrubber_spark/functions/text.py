@@ -145,3 +145,26 @@ def ph_num_expr(n: Column) -> Column:
 
 def ph_num_sql(n: str) -> str:
     return f"concat(cast(({n}) // 26 as varchar), chr(65 + cast(({n}) % 26 as int)))"
+
+
+# --- Unicode normalization ---------------------------------------------------
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalization — the standard
+    pre-scoring canonicalization (CCNet normalizes before LM scoring;
+    crawls mix NFC/NFD encodings of the same glyphs, which breaks
+    hash-based dedup and token statistics). Vectorized pandas
+    str.normalize; the DuckDB twin is the NATIVE nfc_normalize(), so
+    the oracle comparison is exact cross-library Unicode agreement,
+    not a fixture."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc
+
+
+def nfc_normalize_sql(text: str) -> str:
+    return f"nfc_normalize({text})"

@@ -118,3 +118,22 @@ class TestTimeparse:
         )
         got = [r[0] for r in df.select(time_string_expr(F.col("ts"))).collect()]
         assert got == ["7:07 PM", "7:07 AM"]
+
+
+class TestNfcNormalize:
+    def test_known_nfd_forms_compose(self, spark):
+        import pandas as pd
+        import unicodedata
+        from social_media_pii_scrubber_spark.functions.text import (
+            nfc_normalize_udf,
+        )
+        from pyspark.sql import functions as F
+
+        raws = ["café", "Ångström", "plain ascii", "",
+                "already éÅ"]
+        df = spark.createDataFrame(pd.DataFrame({"t": raws}), "t string")
+        got = [r.n for r in df.select(
+            nfc_normalize_udf()(F.col("t")).alias("n")).collect()]
+        want = [unicodedata.normalize("NFC", t) for t in raws]
+        assert got == want
+        assert got[0] == "café" and got[1] == "Ångström"
