@@ -209,6 +209,27 @@ def main() -> None:
     _count(DSR.dsir_weights_fast(pages, "text", "url", ratio))
     timings["q10_dsir_weights"] = t() - t0
 
+    # q11: supervised quality-classifier inference over the 1M-page
+    # corpus at the production width (65536 xxhash64 buckets, weights
+    # from the deterministic hash family): one explode pass +
+    # force-broadcast weight join + partial-agg'd logit sum — DSIR's
+    # scoring topology with a model dimension instead of a ratio
+    from social_media_pii_scrubber_spark.operators import classifier as CLF
+    t0 = t()
+    wmap = {b: ((b * 2654435761) % 1000) / 1000.0 - 0.5
+            for b in range(4096)}
+    _count(CLF.score_with_model(pages, "text", "url", (wmap, -0.1),
+                                n_buckets=4096))
+    timings["q11_classifier_score"] = t() - t0
+
+    # q12: SemDeDup over the embeddings table (coarse cells → within-
+    # cell exact cosine → components keep flags)
+    t0 = t()
+    _count(SIM.semdedup_keep(emb, "embedding", "vec_id",
+                             SIM.make_centroids(8, 64), threshold=0.95)
+           .filter("keep_dedup"))
+    timings["q12_semdedup"] = t() - t0
+
     # q7: relational mix — join + agg + window over tpch-ish tables
     t0 = t()
     j = (
