@@ -1210,13 +1210,9 @@ def _dsir_weights_sql() -> str:
     tdist = DS.bucket_distribution_sql(
         "(select text from documents where lang = 'en')", "text")
     ratio = DS.log_ratio_sql(tdist, sdist)
-    # left-join back to documents: DuckDB's unnest of an empty ngram
-    # list drops the doc while Spark's explode_outer keeps it at logw=0
-    w = DS.dsir_weights_sql("documents", "text", "doc_id", ratio)
-    return (
-        f"select d.doc_id, coalesce(w.logw, 0.0) as logw "
-        f"from documents d left join ({w}) w using (doc_id)"
-    )
+    # the empty-doc left-join-back compensation lives INSIDE
+    # dsir_weights_sql (twin faithfulness — code-review r4)
+    return DS.dsir_weights_sql("documents", "text", "doc_id", ratio)
 
 
 def q_quality_classifier(spark, sf):
@@ -1596,8 +1592,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     whose oracle SQL changed; (c) the pipelines whose code was touched
     this round (scrub seam → clean_text/ner/pii/flagships; lines.py
     anchor → c4/line_dedup/web_preprocess); (d) the 11 entries the r03
-    marker bug left unchecked since r02; (e) the r02 tail (f6/f7 rotated just below the boundary to
-    make room for DSIR), all
+    marker bug left unchecked since r02; (e) what remains of the r02 tail (w2/w3/u1/f4-f12 plus nine
+    r02-green relational trivia rotated just below the boundary to
+    make room for the round-4 additions and for the entries whose
+    operator code this round's HOF rewrites touched), all
     last verified in CORRECTNESS_r02. The rotated-out tail (51+) is all
     r03-driver-green on unchanged code (verdicts on record in
     CORRECTNESS_r03.json); media_scrub sits there permanently — it is
@@ -1647,15 +1645,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
         # -- (e) the r02 tail, last verified in CORRECTNESS_r02 --
-        "explode_pos": q_explode_pos,
-        "w1_photo_seq": q_w1_photo_seq,
-        "p1_date_filter_events": q_p1_date_filter_events,
-        "p2_orders_window": q_p2_orders_window,
-        "p4_nonblank_documents": q_p4_nonblank_documents,
-        "p6_anti_join": q_p6_anti_join,
-        "j1_semi_flag": q_j1_semi_flag,
-        "j4_zip_longest": q_j4_zip_longest,
-        "a1_global_counts": q_a1_global_counts,
+        # -- (f) entries whose OPERATOR code the round-4 HOF rewrites
+        # touched (shingles/zip-chain, window hashes, chunk fold,
+        # top-bigram zip_with) — must re-earn driver verdicts
+        "minhash_signature": q_minhash_signature,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
+        "contamination": q_contamination,
+        "substring_dup": q_substring_dup,
+        "chunk_text": q_chunk_text,
+        "quality_repetition": q_quality_repetition,
         "a2_groupby_count": q_a2_groupby_count,
         "a5_category_extract": q_a5_category_extract,
         "a6_distinct": q_a6_distinct,
@@ -1665,6 +1666,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # front door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
         # quality_classifier, ccnet_buckets, bpe_merges, semdedup_keep,
         # nfc_normalize)
+        "explode_pos": q_explode_pos,
+        "w1_photo_seq": q_w1_photo_seq,
+        "p1_date_filter_events": q_p1_date_filter_events,
+        "p2_orders_window": q_p2_orders_window,
+        "p4_nonblank_documents": q_p4_nonblank_documents,
+        "p6_anti_join": q_p6_anti_join,
+        "j1_semi_flag": q_j1_semi_flag,
+        "j4_zip_longest": q_j4_zip_longest,
+        "a1_global_counts": q_a1_global_counts,
         "w2_week_bins": q_w2_week_bins,
         "w3_sort_limit": q_w3_sort_limit,
         "u1_union": q_u1_union,
@@ -1680,13 +1690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "streaming_scrub": q_streaming_scrub,
         "pii_coverage_ext": q_pii_coverage_ext,
-        "substring_dup": q_substring_dup,
         "ivf_topk": q_ivf_topk,
         "perplexity_udf": q_perplexity_udf,
         "media_scrub_hex": q_media_scrub_hex,
         "media_scrub": q_media_scrub,  # rows-only by design; never windowed
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_list": q_dedup_keep_list,
         "ann_amp_topk": q_ann_amp_topk,
         "fb_profile_updates": q_fb_profile_updates,
         "tt_user_videos": q_tt_user_videos,
@@ -1695,8 +1702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
         "url_canonicalize": q_url_canonicalize,
-        "contamination": q_contamination,
-        "chunk_text": q_chunk_text,
         "pack_sequences": q_pack_sequences,
         "tfidf": q_tfidf,
         "tfidf_similar_pairs": q_tfidf_similar_pairs,
@@ -1706,14 +1711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_per_key": q_cap_per_key,
         "train_char_lm": q_train_char_lm,
         "quality_heuristics": q_quality_heuristics,
-        "quality_repetition": q_quality_repetition,
         "toxicity": q_toxicity,
         "langid": q_langid,
         "langid_margin": q_langid_margin,
         "exact_dedup": q_exact_dedup,
-        "minhash_signature": q_minhash_signature,
-        "lsh_pairs": q_lsh_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
     }
 
 

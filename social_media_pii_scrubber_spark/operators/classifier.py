@@ -43,6 +43,7 @@ from .dsir import (
     bucket_sql,
     ngrams_expr,
     ngrams_sql,
+    score_exploded,
 )
 
 _HASH_HEX = 6  # md5-derived pseudo-weight resolution (16^6)
@@ -80,23 +81,14 @@ def classifier_score(df: DataFrame, text_col: str, id_col: str,
                      prefix_len: int = BUCKET_PREFIX) -> DataFrame:
     """(id, logit, keep): linear score over hashed ngram counts.
     ``weights`` is (bucket, wgt), bounded at 16^prefix rows by
-    construction — force-broadcast for the same reason as DSIR's ratio
-    (static stats mis-estimate the bounded dimension and would plan a
-    corpus-wide shuffle join). Docs with no ngrams score the bare
-    bias (explode_outer keeps them; md5(null) bucket joins nothing)."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode_outer(ngrams_expr(F.col(text_col))).alias("ng"),
-    ).select(
-        id_col, bucket_expr(F.col("ng"), prefix_len).alias("bucket"),
-    )
-    joined = exploded.join(F.broadcast(weights), on="bucket", how="left")
-    logit = (F.coalesce(F.sum("wgt"), F.lit(0.0)) + F.lit(float(bias)))
-    return joined.groupBy(id_col).agg(
-        logit.alias("logit"),
-    ).select(
-        id_col, "logit", (F.col("logit") > 0).alias("keep"),
-    )
+    construction; scoring is DSIR's shared score_exploded topology
+    (force-broadcast dimension, partial-agg'd per-doc sum). Docs with
+    no ngrams score the bare bias."""
+    return score_exploded(
+        df, text_col, id_col, weights,
+        lambda ng: bucket_expr(ng, prefix_len), "wgt", "logit",
+        offset=bias,
+    ).select(id_col, "logit", (F.col("logit") > 0).alias("keep"))
 
 
 def classifier_score_sql(table_sql: str, text_col: str, id_col: str,
@@ -157,18 +149,26 @@ def train_logreg(df: DataFrame, text_col: str, id_col: str,
                 F.first("_y").alias("_y"),
                 (F.coalesce(F.sum("wgt"), F.lit(0.0)) + bias).alias("z"),
             )
+            # g is cached for the iteration: the bias gradient and the
+            # per-bucket rollup are separate actions (different
+            # granularities — per doc vs per ngram occurrence), and an
+            # uncached g would recompute the join+sigmoid subplan twice
             g = z.select(
                 "_id",
                 (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
                  - F.col("_y")).alias("g"),
-            )
-            # ex and g are both partitioned by _id (cached exchange is
-            # reused) — the join adds no shuffle; the bucket rollup is
-            # the iteration's single shuffle, ≤ n_buckets rows out
-            grads = ex.join(g, on="_id").groupBy("bucket").agg(
-                F.sum("g").alias("gw"))
-            bias_g = g.agg(F.sum("g")).collect()[0][0] or 0.0
-            for row in grads.collect():
+            ).persist()
+            try:
+                bias_g = g.agg(F.sum("g")).collect()[0][0] or 0.0
+                # ex and g are both partitioned by _id (cached exchange
+                # is reused) — the join adds no shuffle; the bucket
+                # rollup is the iteration's single shuffle, ≤ n_buckets
+                # rows out
+                grads = ex.join(g, on="_id").groupBy("bucket").agg(
+                    F.sum("g").alias("gw")).collect()
+            finally:
+                g.unpersist()
+            for row in grads:
                 b = int(row["bucket"])
                 grad = row["gw"] / n_docs + l2 * w.get(b, 0.0)
                 w[b] = w.get(b, 0.0) - lr * grad
@@ -181,22 +181,16 @@ def train_logreg(df: DataFrame, text_col: str, id_col: str,
 def score_with_model(df: DataFrame, text_col: str, id_col: str,
                      model: tuple[dict[int, float], float],
                      n_buckets: int = 16 ** PROD_BUCKET_PREFIX) -> DataFrame:
-    """Apply a train_logreg model at the production bucket width."""
+    """Apply a train_logreg model at the production bucket width
+    (score_exploded with xxhash64 buckets)."""
     w, bias = model
-    spark = df.sparkSession
-    w_df = spark.createDataFrame(
+    w_df = df.sparkSession.createDataFrame(
         [(int(b), float(v)) for b, v in w.items()] or [(0, 0.0)],
         "bucket long, wgt double")
-    exploded = df.select(
-        F.col(id_col),
-        F.explode_outer(ngrams_expr(F.col(text_col))).alias("ng"),
-    ).select(
-        id_col, bucket_fast_expr(F.col("ng"), n_buckets).alias("bucket"),
-    )
-    joined = exploded.join(F.broadcast(w_df), on="bucket", how="left")
-    return joined.groupBy(id_col).agg(
-        (F.coalesce(F.sum("wgt"), F.lit(0.0)) + F.lit(float(bias)))
-        .alias("logit"),
+    return score_exploded(
+        df, text_col, id_col, w_df,
+        lambda ng: bucket_fast_expr(ng, n_buckets), "wgt", "logit",
+        offset=bias,
     ).select(id_col, "logit", (F.col("logit") > 0).alias("keep"))
 
 

@@ -124,18 +124,11 @@ def dsir_weights_fast(df: DataFrame, text_col: str, id_col: str,
                       ratio: DataFrame,
                       n_buckets: int = 16 ** PROD_BUCKET_PREFIX
                       ) -> DataFrame:
-    """Production-profile scoring: same topology as dsir_weights
-    (force-broadcast bounded ratio, partial-agg'd per-doc sum) with
-    bigint xxhash64 buckets."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode_outer(ngrams_expr(F.col(text_col))).alias("ng"),
-    ).select(
-        id_col, bucket_fast_expr(F.col("ng"), n_buckets).alias("bucket"),
-    )
-    joined = exploded.join(F.broadcast(ratio), on="bucket", how="left")
-    return joined.groupBy(id_col).agg(
-        F.coalesce(F.sum("logr"), F.lit(0.0)).alias("logw"))
+    """Production-profile scoring: score_exploded with bigint xxhash64
+    buckets."""
+    return score_exploded(
+        df, text_col, id_col, ratio,
+        lambda ng: bucket_fast_expr(ng, n_buckets), "logr", "logw")
 
 
 def bucket_distribution(df: DataFrame, text_col: str,
@@ -192,36 +185,59 @@ def log_ratio_sql(target_sql: str, source_sql: str) -> str:
     )
 
 
+def score_exploded(df: DataFrame, text_col: str, id_col: str,
+                   dim: DataFrame, bucket_of, value_col: str,
+                   out_col: str, offset: float = 0.0) -> DataFrame:
+    """THE shared per-doc hashed-ngram scoring topology — used by DSIR
+    (ratio dimension) and the quality classifier (weight dimension):
+    explode_outer → bucket → FORCE-broadcast join against the
+    construction-bounded dimension → partial-agg'd per-doc sum
+    (+ offset). The broadcast hint is justified because ``dim`` is
+    bounded by construction at the bucket-space size (a model
+    parameter, not a corpus-growing vocabulary — the no-hint invariant
+    doesn't apply) and static stats mis-estimate it through the
+    bucket-space join, planning a full shuffle of the exploded corpus
+    otherwise. Docs with no n-grams score the bare offset
+    (explode_outer keeps them; a null ngram's bucket joins nothing)."""
+    exploded = df.select(
+        F.col(id_col),
+        F.explode_outer(ngrams_expr(F.col(text_col))).alias("ng"),
+    ).select(id_col, bucket_of(F.col("ng")).alias("bucket"))
+    joined = exploded.join(F.broadcast(dim), on="bucket", how="left")
+    return joined.groupBy(id_col).agg(
+        (F.coalesce(F.sum(value_col), F.lit(0.0)) + F.lit(float(offset)))
+        .alias(out_col))
+
+
 def dsir_weights(df: DataFrame, text_col: str, id_col: str,
                  ratio: DataFrame,
                  prefix_len: int = BUCKET_PREFIX) -> DataFrame:
     """(id, logw): per-doc importance log-weight Σ logr over the doc's
-    hashed n-grams. The ratio side is FORCE-broadcast: it is bounded by
-    construction at exactly 16^prefix rows (a model parameter, not a
-    corpus-growing vocabulary — the no-hint invariant doesn't apply),
-    and static stats mis-estimate it through the bucket-space join,
-    planning a full shuffle of the exploded corpus otherwise. Docs
-    with no n-grams score 0 (explode_outer keeps them)."""
-    exploded = df.select(
-        F.col(id_col),
-        F.explode_outer(ngrams_expr(F.col(text_col))).alias("ng"),
-    ).select(
-        id_col, bucket_expr(F.col("ng"), prefix_len).alias("bucket"),
-    )
-    joined = exploded.join(F.broadcast(ratio), on="bucket", how="left")
-    return joined.groupBy(id_col).agg(
-        F.coalesce(F.sum("logr"), F.lit(0.0)).alias("logw"))
+    hashed n-grams (see score_exploded for the scale topology)."""
+    return score_exploded(
+        df, text_col, id_col, ratio,
+        lambda ng: bucket_expr(ng, prefix_len), "logr", "logw")
 
 
 def dsir_weights_sql(table_sql: str, text_col: str, id_col: str,
                      ratio_sql: str,
                      prefix_len: int = BUCKET_PREFIX) -> str:
+    """Faithful twin of dsir_weights INCLUDING empty docs: DuckDB's
+    unnest drops a doc whose ngram list is empty, while Spark's
+    explode_outer keeps it at logw=0 — so the aggregate is left-joined
+    back to the full table (the same self-compensation
+    classifier_score_sql uses), keeping any composition of this twin
+    (e.g. dsir_topk_sql) row-faithful."""
     ng = ngrams_sql(text_col)
-    return (
+    agg = (
         f"select {id_col}, coalesce(sum(logr), 0.0) as logw from "
         f"(select {id_col}, {bucket_sql('ng', prefix_len)} as bucket from "
         f"(select {id_col}, unnest({ng}) as ng from {table_sql})) e "
         f"left join ({ratio_sql}) r using (bucket) group by {id_col}"
+    )
+    return (
+        f"select d.{id_col}, coalesce(w.logw, 0.0) as logw "
+        f"from {table_sql} d left join ({agg}) w using ({id_col})"
     )
 
 
@@ -282,8 +298,10 @@ def dsir_sample_by_rate(weights: DataFrame, id_col: str, rate: float,
     assert 0.0 < rate < 1.0
     keyed = weights.withColumn(
         "gumbel_key", F.col("logw") + gumbel_expr(F.col(id_col), seed))
-    [thr] = keyed.approxQuantile("gumbel_key", [1.0 - rate], quantile_error)
-    return keyed.filter(F.col("gumbel_key") >= thr)
+    q = keyed.approxQuantile("gumbel_key", [1.0 - rate], quantile_error)
+    if not q:  # empty input (approxQuantile returns []) → empty output
+        return keyed.limit(0)
+    return keyed.filter(F.col("gumbel_key") >= q[0])
 
 
 def dsir_weights_python(texts_by_id: dict, target_texts: list,

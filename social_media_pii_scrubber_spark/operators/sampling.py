@@ -278,8 +278,12 @@ def score_buckets(df: DataFrame, score_col: str, id_col: str,
     quantile thresholds estimated from a sample (the shape CCNet
     itself uses) — comparison tagging, no global sort."""
     part = [strata_col] if strata_col else []
+    # NULLS LAST pinned on BOTH engines: Spark's bare asc sorts nulls
+    # FIRST, DuckDB's sorts them LAST — an unpinned twin drifts on the
+    # first null score (and a null score means unknown quality, which
+    # belongs in the tail, not the head)
     wrank = Window.partitionBy(*part).orderBy(
-        F.col(score_col).asc(), F.col(id_col).asc())
+        F.col(score_col).asc_nulls_last(), F.col(id_col).asc())
     wcnt = Window.partitionBy(*part)
     idx = F.floor(
         F.lit(n_buckets) * (F.row_number().over(wrank) - 1)
@@ -300,7 +304,8 @@ def score_buckets_sql(table_sql: str, score_col: str, id_col: str,
     part = f"partition by {strata_col} " if strata_col else ""
     return (
         f"select *, ({arr})[cast(floor({n_buckets} * "
-        f"(row_number() over ({part}order by {score_col} asc, {id_col} asc)"
+        f"(row_number() over ({part}order by {score_col} asc nulls last, "
+        f"{id_col} asc)"
         f" - 1) / (count(*) over ({part.rstrip() or ''}))) as int) + 1] "
         f"as bucket from {table_sql}"
     )

@@ -303,5 +303,13 @@ class TestDriverContract:
         for must in ("kmeans_centroids", "media_features", "zip_ingest",
                      "ivf_trained_topk", "incremental_dedup",
                      "clean_text_udf", "c4_line_filter", "web_preprocess",
-                     "html_extract", "flagship_from_html"):
+                     "html_extract", "flagship_from_html",
+                     # round-4 additions
+                     "dsir_weights", "dsir_topk", "quality_classifier",
+                     "ccnet_buckets", "bpe_merges", "semdedup_keep",
+                     "nfc_normalize",
+                     # operator code rewritten by the round-4 HOF fixes
+                     "minhash_signature", "lsh_pairs", "jaccard_pairs",
+                     "dedup_clusters", "dedup_keep_list", "contamination",
+                     "substring_dup", "chunk_text", "quality_repetition"):
             assert must in window, must

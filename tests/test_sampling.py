@@ -182,3 +182,25 @@ class TestScoreBuckets:
         approx = {r.doc_id: r.bucket for r in bucket_by_thresholds(
             df, "ppl", [2.0, 5.0]).collect()}
         assert exact == approx
+
+    def test_null_scores_rank_last_not_head(self, spark):
+        """Null score = unknown quality → 'tail'; also the cross-engine
+        trap: Spark's bare asc is NULLS FIRST, DuckDB's is NULLS LAST —
+        both twins pin NULLS LAST explicitly."""
+        import duckdb
+        import pandas as pd
+        from social_media_pii_scrubber_spark.operators.sampling import (
+            score_buckets, score_buckets_sql,
+        )
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6],
+                            "ppl": [3.0, None, 1.0, 2.0, None, 4.0]})
+        df = spark.createDataFrame(pdf, "doc_id long, ppl double")
+        got = {r.doc_id: r.bucket for r in score_buckets(
+            df, "ppl", "doc_id").collect()}
+        assert got == {3: "head", 4: "head", 1: "middle", 6: "middle",
+                       2: "tail", 5: "tail"}
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = {r[0]: r[-1] for r in con.sql(
+            score_buckets_sql("t", "ppl", "doc_id")).fetchall()}
+        assert got == want
