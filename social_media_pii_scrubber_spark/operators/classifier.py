@@ -218,3 +218,37 @@ def train_logreg_python_bucketed(feats_by_id: dict, labels_by_id: dict,
             w[b] = w.get(b, 0.0) - lr * (gw / n + l2 * w.get(b, 0.0))
         bias -= lr * (grad_b / n)
     return w, bias
+
+
+def classifier_score_expr(text: Column, weights: dict, bias: float = 0.0,
+                          n_buckets: int | None = None) -> Column:
+    """Pure-EXPRESSION inference: logit = bias + Σ map[bucket(ngram)]
+    via a per-row aggregate() fold over the ngram array — no explode,
+    no join, NO SHUFFLE, so it composes directly into Structured
+    Streaming (stateless projection; the explode/groupBy batch path
+    would need stateful aggregation on a stream).
+
+    ``weights`` is {bucket: wgt} with STRING keys for the md5 profile
+    or INT keys for the xxhash profile (n_buckets set). Intended for
+    distilled/pruned models that fit an expression map literal
+    (≤ ~10k entries — codegen size, not correctness, is the limit);
+    the explode+broadcast-join path (classifier_score) remains the
+    full-width batch shape."""
+    if not weights:
+        return F.lit(float(bias))
+    pairs = []
+    for k, v in sorted(weights.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(float(v)))
+    wmap = F.create_map(*pairs)
+    if n_buckets is None:
+        bucket_of = bucket_expr  # md5-hex profile (string keys)
+    else:
+        def bucket_of(ng):
+            return bucket_fast_expr(ng, n_buckets)
+    return F.aggregate(
+        ngrams_expr(text),
+        F.lit(float(bias)),
+        lambda acc, ng: acc + F.coalesce(
+            F.element_at(wmap, bucket_of(ng)), F.lit(0.0)),
+    )

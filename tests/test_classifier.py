@@ -117,3 +117,45 @@ class TestTrain:
         n0 = sum(v * v for v in w0.values())
         n1 = sum(v * v for v in w1.values())
         assert n1 < n0
+
+
+class TestExprInference:
+    def test_expr_matches_exploded_path(self, spark):
+        """The zero-shuffle aggregate() form must reproduce the
+        explode+join path (tolerance: the fold sums in array order,
+        the aggregation in partition order)."""
+        df = _labeled(spark)
+        w = {r.bucket: r.wgt for r in CL.hash_weights_table(spark).collect()}
+        got = {r.doc_id: r.logit for r in df.select(
+            "doc_id", CL.classifier_score_expr(F.col("text"), w, bias=-0.25)
+            .alias("logit")).collect()}
+        want = {r.doc_id: r.logit for r in CL.classifier_score(
+            df, "text", "doc_id", CL.hash_weights_table(spark),
+            bias=-0.25).collect()}
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i] == pytest.approx(want[i], abs=1e-9), i
+
+    def test_empty_text_and_empty_weights(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": [""]}),
+            "doc_id long, text string")
+        [r0] = df.select(CL.classifier_score_expr(
+            F.col("text"), {"ab": 1.0}, bias=2.5).alias("s")).collect()
+        assert r0.s == 2.5
+        [r1] = df.select(CL.classifier_score_expr(
+            F.col("text"), {}, bias=-1.0).alias("s")).collect()
+        assert r1.s == -1.0
+
+    def test_int_keyed_fast_profile(self, spark):
+        df = _labeled(spark)
+        model = CL.train_logreg(df, "text", "doc_id", "label",
+                                n_buckets=1024, iters=10, lr=0.5)
+        w, bias = model
+        got = {r.doc_id: r.s > 0 for r in df.select(
+            "doc_id", CL.classifier_score_expr(
+                F.col("text"), w, bias=bias, n_buckets=1024).alias("s"))
+            .collect()}
+        want = {r.doc_id: r.keep for r in CL.score_with_model(
+            df, "text", "doc_id", model, n_buckets=1024).collect()}
+        assert got == want

@@ -113,3 +113,34 @@ def test_streaming_scrub_end_to_end(spark, sf_dir, tmp_path):
         assert "scrubbed_text" in spark.table("t_scrub").columns
     finally:
         q.stop()
+
+
+def test_streaming_classifier_score_stateless(spark, sf_dir, tmp_path):
+    """classifier_score_expr is a stateless projection — it composes
+    onto readStream with NO stateful operator (the explode+groupBy
+    batch path would need one), and the streamed scores match the
+    batch expression on the same rows."""
+    from pyspark.sql import functions as F
+
+    from social_media_pii_scrubber_spark.operators import classifier as CL
+
+    batch = webpages_from_documents(spark, sf_dir).limit(100)
+    src = str(tmp_path / "clf_feed")
+    batch.write.parquet(src)
+
+    w = {r.bucket: r.wgt for r in CL.hash_weights_table(spark).collect()}
+    score = lambda df: df.select(
+        "url", CL.classifier_score_expr(F.col("text"), w, bias=-0.25)
+        .alias("logit"))
+
+    stream = stream_pages_from_directory(spark, src, batch.schema)
+    q = (score(stream).writeStream.format("memory")
+         .queryName("t_clf").outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        got = {r.url: r.logit for r in spark.table("t_clf").collect()}
+    finally:
+        q.stop()
+    want = {r.url: r.logit
+            for r in score(spark.read.parquet(src)).collect()}
+    assert got == want and len(got) == 100
