@@ -20,15 +20,21 @@ Two web-pipeline operators the doc-level family can't express:
   magnitude colder than the empty line they'd otherwise shuffle with.
 
 100-TB shape of ``line_dedup``: explode lines ONCE and repartition on
-the line — that single exchange is then REUSED by both consumers (the
-first-occurrence aggregate, which partial-combines map-side on top of
-it, and the join probe side, which is already co-partitioned, so the
-join adds no exchange; same ReusedExchange pattern as the LSH
-self-join). At web scale the first-occurrence table is corpus-sized
-(every distinct line) — never broadcastable — so the one reused shuffle
-is the optimal topology; one further shuffle per doc reassembles.
-Measured at 1M pages: reuse topology ≤ the naive two-exchange plan warm
-(2.2 s vs 2.3 s) and strictly fewer corpus passes.
+a 128-bit line fingerprint (two independent xxhash64 values — the raw
+line rides along as payload only) — that single exchange is then
+REUSED by both consumers (the first-occurrence aggregate, which
+partial-combines map-side on top of it, and the join probe side, which
+is already co-partitioned, so the join adds no exchange; same
+ReusedExchange pattern as the LSH self-join). Fingerprint keying
+(VERDICT r04 item 2) means the first-occurrence hash map, the join
+equality, and any AQE re-shuffle of the aggregate output work on fixed
+16-byte keys instead of arbitrary-length line text; collision odds at
+10^12 distinct lines are ~10^-15 (birthday bound at 128 bits). At web
+scale the first-occurrence table is corpus-sized (every distinct line)
+— never broadcastable — so the one reused shuffle is the optimal
+topology; one further shuffle per doc reassembles. Measured at 1M
+pages: reuse topology ≤ the naive two-exchange plan warm (2.2 s vs
+2.3 s) and strictly fewer corpus passes.
 """
 
 from __future__ import annotations
@@ -94,28 +100,40 @@ def line_dedup(docs: DataFrame, text_col: str, id_col: str,
     always survive. Line order within each doc is preserved.
     """
     i = F.col(id_col)
-    # ONE exchange on the line, reused by the aggregate and the probe
-    # side of the join (both consume the exact same partitioning — the
-    # aggregate deliberately runs over ALL lines, short ones included,
-    # so its subtree is byte-identical to the probe side's and Spark
-    # emits a ReusedExchange; a filtered agg side would let Catalyst
-    # push the filter below the exchange and break the reuse. The
-    # short-line exemption moves into the kept-filter instead, which is
+    # ONE exchange keyed on the 128-bit line fingerprint (_h1,_h2),
+    # reused by the aggregate and the probe side of the join (both
+    # consume the exact same partitioning — the aggregate deliberately
+    # runs over ALL lines, short ones included, so its subtree is
+    # byte-identical to the probe side's and Spark emits a
+    # ReusedExchange; a filtered agg side would let Catalyst push the
+    # filter below the exchange and break the reuse. The short-line
+    # exemption moves into the kept-filter instead, which is
     # semantically identical, and the hot short keys — the empty line
     # above all — cost one partial-agg row per map task, not a skewed
-    # reducer.)
+    # reducer.) The raw line is payload only: agg hash-map keys, join
+    # equality, and any AQE re-shuffle see 16 fixed bytes, never the
+    # line text (VERDICT r04 item 2).
     lines = docs.select(
         i.alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ln"),
-    ).repartition("_ln")
+    ).select(
+        "_id", "_pos", "_ln",
+        F.xxhash64("_ln").alias("_h1"),
+        F.xxhash64(F.lit("ln2"), F.col("_ln")).alias("_h2"),
+    ).repartition("_h1", "_h2")
     # first occurrence per line: min over a (doc, pos) struct — the agg
-    # partial-combines map-side, so hot lines cost one row per task
-    first = lines.groupBy("_ln").agg(
+    # partial-combines map-side, so hot lines cost one row per task.
+    # The trailing flen field is a pruning-parity anchor: without a
+    # reference to _ln the aggregate branch's below-exchange projection
+    # is narrower than the probe side's and the ReusedExchange breaks;
+    # (fid, fpos) is unique per row, so flen never decides the min.
+    first = lines.groupBy("_h1", "_h2").agg(
         F.min(F.struct(F.col("_id").alias("fid"),
-                       F.col("_pos").alias("fpos"))).alias("_first")
+                       F.col("_pos").alias("fpos"),
+                       F.length("_ln").alias("flen"))).alias("_first")
     )
     kept = (
-        lines.join(first, on="_ln", how="left")
+        lines.join(first, on=["_h1", "_h2"], how="left")
         .filter(
             ~_qualifies(F.col("_ln"))  # short/blank lines pass through
             | ((F.col("_first.fid") == F.col("_id"))
@@ -136,7 +154,11 @@ def line_dedup(docs: DataFrame, text_col: str, id_col: str,
 def line_dedup_sql(table_sql: str, text_col: str, id_col: str,
                    min_words: int = MIN_WORDS) -> str:
     """DuckDB twin: line-index explode via unnest(generate_series) +
-    first-occurrence agg (DuckDB has no WITH ORDINALITY)."""
+    first-occurrence agg (DuckDB has no WITH ORDINALITY). Keys on the
+    raw line, which is semantically identical to the Spark side's
+    128-bit fingerprint keying up to a ~10^-15 collision bound — the
+    fingerprint never appears in the output, so the twin stays
+    fingerprint-free."""
     words = "len(regexp_split_to_array(trim(ln), '\\s+'))"
     return (
         f"with s as (select {id_col} as _id, split({text_col}, chr(10)) as lns"
