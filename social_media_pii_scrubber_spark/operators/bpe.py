@@ -3,8 +3,16 @@
 The tokenizer-fitting stage of a pretraining pipeline, as DataFrame
 ops. The scalable shape: ONE corpus pass collapses the corpus to the
 weighted word vocabulary (word types × counts — orders of magnitude
-smaller than the corpus, and the only thing BPE statistics depend on);
-every merge iteration then runs on the vocab table only:
+smaller than the corpus, and the only thing BPE statistics depend on).
+The merge loop then runs entirely driver-side on that collapsed vocab
+(``_merge_loop_weighted``: incremental pair-count maintenance, the
+standard Sennrich learn_bpe index) — one Spark job total instead of
+one per merge, which matters when production vocabs want 32k merges
+(VERDICT r04 item 3). The driver footprint is bounded by the TYPE
+inventory, not the corpus: ``driver_vocab_max`` (default 2M types,
+≲1 GB with symbol lists) guards the collect; a corpus whose pruned
+vocab exceeds it falls back to ``_train_bpe_distributed``, the
+all-DataFrame per-merge loop:
 
   1. pair counts: explode zip_with(syms, syms[2:]) weighted by the
      word count — one partial-agg'd shuffle over the vocab;
@@ -15,6 +23,11 @@ every merge iteration then runs on the vocab table only:
      re-evaluation, see functions/text.py let_expr);
   4. localCheckpoint every few iterations to truncate the growing
      lineage (components.py's iterative pattern).
+
+All three merge-loop implementations (driver incremental, distributed,
+and the naive-recount scalar replication ``train_bpe_python`` kept
+independent for the fixture oracle) are exact-match cross-checked in
+tests/test_bpe.py.
 
 Deterministic end to end (counts are exact integers, ties break
 lexicographically), so the oracle gate value-checks the Spark result
@@ -92,14 +105,70 @@ def _apply_merge_expr(syms: Column, a: str, b: str) -> Column:
     )
 
 
-def train_bpe(df: DataFrame, text_col: str, n_merges: int,
-              min_count: int = 1) -> list[tuple[str, str]]:
-    """Learn ``n_merges`` BPE merges over the corpus. Returns the
-    ordered merge list — the model artifact. Stops early if no pair
-    remains. ``min_count`` > 1 is the web-scale profile: prune the
-    crawl's singleton junk types before iterating."""
-    tok = word_vocab(df, text_col, min_count=min_count).select(
-        "cnt", F.split(F.col("w"), "").alias("syms"))
+DRIVER_VOCAB_MAX = 2_000_000
+
+
+def _apply_merge_scalar(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping merge — scalar twin of
+    ``_apply_merge_expr``."""
+    out: list[str] = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _merge_loop_weighted(vocab: dict[str, int], n_merges: int
+                         ) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a weighted type vocabulary with
+    incremental pair-count maintenance (Sennrich learn_bpe's index):
+    each merge touches only the words that contain the winning pair
+    and re-counts just those words — O(affected words) per merge, not
+    O(vocab). Argmax is a linear scan of live pairs (count desc, then
+    lexicographic — identical tie-break to the distributed and naive
+    paths; a heap would shave the scan but the scan is never the
+    bottleneck at type-inventory scale)."""
+    toks = {w: list(w) for w in vocab}
+    pc: dict[tuple[str, str], int] = {}
+    pw: dict[tuple[str, str], set] = {}
+    for w, syms in toks.items():
+        c = vocab[w]
+        for p in zip(syms, syms[1:]):
+            pc[p] = pc.get(p, 0) + c
+            pw.setdefault(p, set()).add(w)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        merges.append(best)
+        a, b = best
+        for w in list(pw.get(best, ())):
+            syms = toks[w]
+            new = _apply_merge_scalar(syms, a, b)
+            if new == syms:  # stale index entry — pair already gone
+                continue
+            c = vocab[w]
+            for p in zip(syms, syms[1:]):
+                pc[p] -= c
+                if pc[p] == 0:
+                    del pc[p]
+            for p in zip(new, new[1:]):
+                pc[p] = pc.get(p, 0) + c
+                pw.setdefault(p, set()).add(w)
+            toks[w] = new
+        pw.pop(best, None)
+    return merges
+
+
+def _train_bpe_distributed(tok: DataFrame, n_merges: int
+                           ) -> list[tuple[str, str]]:
+    """All-DataFrame per-merge loop — the fallback when the type
+    vocabulary itself exceeds driver memory. One pair-count job +
+    1-row argmax collect per merge (the collect is the model
+    parameter, never corpus-sized)."""
     tok = tok.localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
@@ -118,6 +187,30 @@ def train_bpe(df: DataFrame, text_col: str, n_merges: int,
         if (i + 1) % CHECKPOINT_EVERY == 0:
             tok = tok.localCheckpoint(eager=True)
     return merges
+
+
+def train_bpe(df: DataFrame, text_col: str, n_merges: int,
+              min_count: int = 1,
+              driver_vocab_max: int = DRIVER_VOCAB_MAX
+              ) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges over the corpus. Returns the
+    ordered merge list — the model artifact. Stops early if no pair
+    remains. ``min_count`` > 1 is the web-scale profile: prune the
+    crawl's singleton junk types before iterating.
+
+    One corpus pass collapses to the weighted type vocab; if at most
+    ``driver_vocab_max`` types survive pruning (checked with a
+    limit-guarded collect — no second pass), the merge loop finishes
+    driver-side in one Spark job total; otherwise the per-merge
+    distributed loop runs. All paths produce identical merges."""
+    vocab = word_vocab(df, text_col, min_count=min_count)
+    if driver_vocab_max > 0:
+        rows = vocab.limit(driver_vocab_max + 1).collect()
+        if len(rows) <= driver_vocab_max:
+            return _merge_loop_weighted(
+                {r["w"]: r["cnt"] for r in rows}, n_merges)
+    return _train_bpe_distributed(
+        vocab.select("cnt", F.split(F.col("w"), "").alias("syms")), n_merges)
 
 
 def bpe_encode_expr(text: Column, merges: list[tuple[str, str]]) -> Column:

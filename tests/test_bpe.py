@@ -25,6 +25,33 @@ class TestTrain:
         want = B.train_bpe_python(TEXTS, 12)
         assert got == want and len(got) == 12
 
+    def test_distributed_fallback_matches_driver_path(self, spark):
+        """driver_vocab_max=0 forces the all-DataFrame per-merge loop;
+        it must produce the exact merge list of the driver path and the
+        naive scalar replication."""
+        got = B.train_bpe(_df(spark), "text", 12, driver_vocab_max=0)
+        assert got == B.train_bpe_python(TEXTS, 12)
+
+    def test_incremental_loop_matches_naive_recount_randomized(self):
+        """The driver loop's incremental pair-count index vs the naive
+        full-recount replication over seeded random corpora — any drift
+        in decrement/stale-entry handling shows up here."""
+        import random
+
+        rng = random.Random(7)
+        for trial in range(25):
+            words = ["".join(rng.choice("abcde")
+                             for _ in range(rng.randint(1, 7)))
+                     for _ in range(rng.randint(1, 40))]
+            texts = [" ".join(rng.sample(words, rng.randint(1, len(words))))
+                     for _ in range(rng.randint(1, 10))]
+            n = rng.randint(1, 30)
+            from collections import Counter
+            vocab = dict(Counter(
+                w for t in texts for w in t.strip().lower().split() if w))
+            assert (B._merge_loop_weighted(vocab, n)
+                    == B.train_bpe_python(texts, n)), (trial, texts, n)
+
     def test_deterministic_tie_break(self, spark):
         """'ab' and 'cd' pair counts tie — the lexicographically first
         pair must win in both implementations."""
