@@ -124,16 +124,27 @@ def train_logreg(df: DataFrame, text_col: str, id_col: str,
     """Full-batch logistic regression over xxhash64 bucket counts.
     Returns ({bucket: weight}, bias) — the bounded model artifact
     (persist it; render as literals / a broadcast table at query
-    time). Labels must be 0/1."""
+    time). Labels must be 0/1.
+
+    Empty/zero-ngram docs participate (explode_outer keeps them as one
+    null-bucket row): they contribute to the bias gradient and to
+    n_docs, matching train_logreg_python_bucketed when it is handed an
+    empty feature list (ADVICE r04). The null bucket joins no weight
+    (z = bias) and is skipped in the per-bucket update — xxhash64 of a
+    null ngram would otherwise silently hash to a REAL bucket, so the
+    bucket expression is explicitly null-guarded."""
+    ng = F.col("ng")
     ex = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).cast("double").alias("_y"),
-        F.explode(ngrams_expr(F.col(text_col))).alias("ng"),
+        F.explode_outer(ngrams_expr(F.col(text_col))).alias("ng"),
     ).select(
-        "_id", "_y", bucket_fast_expr(F.col("ng"), n_buckets).alias("bucket"),
+        "_id", "_y",
+        F.when(ng.isNotNull(),
+               bucket_fast_expr(ng, n_buckets)).alias("bucket"),
     ).repartition(F.col("_id")).persist()
     try:
-        n_docs = ex.select("_id").distinct().count() or 1
+        n_docs = df.count() or 1
         w: dict[int, float] = {}
         bias = 0.0
         spark = df.sparkSession
@@ -169,6 +180,8 @@ def train_logreg(df: DataFrame, text_col: str, id_col: str,
             finally:
                 g.unpersist()
             for row in grads:
+                if row["bucket"] is None:  # empty-doc marker row
+                    continue
                 b = int(row["bucket"])
                 grad = row["gw"] / n_docs + l2 * w.get(b, 0.0)
                 w[b] = w.get(b, 0.0) - lr * grad

@@ -95,6 +95,35 @@ class TestTrain:
         for b in want_w:
             assert got_w[b] == pytest.approx(want_w[b], abs=1e-9), b
 
+    def test_empty_doc_included_in_intercept(self, spark):
+        """An empty/whitespace doc has zero ngrams but is still a
+        labeled example: it must count in n_docs and push the bias
+        gradient, exactly as the scalar twin does when handed an empty
+        feature list (ADVICE r04: explode would silently drop it)."""
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1, 2],
+                          "text": ["good words here", "bad junk stuff", ""],
+                          "label": [1, 0, 0]}),
+            "doc_id long, text string, label int")
+        nb = 256
+        got_w, got_b = CL.train_logreg(df, "text", "doc_id", "label",
+                                       n_buckets=nb, iters=8, lr=0.5)
+        feats = df.select(
+            "doc_id", F.explode(DS.ngrams_expr(F.col("text"))).alias("ng"),
+        ).select(
+            "doc_id", DS.bucket_fast_expr(F.col("ng"), nb).alias("b"),
+        ).collect()
+        feats_by_id: dict = {0: [], 1: [], 2: []}
+        for r in feats:
+            feats_by_id[r.doc_id].append(r.b)
+        assert feats_by_id[2] == []
+        want_w, want_b = CL.train_logreg_python_bucketed(
+            feats_by_id, {0: 1.0, 1: 0.0, 2: 0.0}, iters=8, lr=0.5)
+        assert got_b == pytest.approx(want_b, abs=1e-9)
+        assert set(got_w) == set(want_w)
+        for b in want_w:
+            assert got_w[b] == pytest.approx(want_w[b], abs=1e-9), b
+
     def test_trained_model_separates(self, spark):
         """End to end: train on the planted corpus, score it back —
         every doc must land on its label's side of the boundary."""

@@ -81,6 +81,78 @@ class TestRemovalClasses:
         assert html_text_python(h) == "ok"
 
 
+class TestSubsetAssumptionsBreak:
+    """ADVICE r04: the byte-identical guarantee is only proven against
+    the repo's own synthesizer subset (escaped text, well-formed
+    template). These cases feed the extractor pages that BREAK the
+    subset and assert the breakage is SURFACED — the gate projection's
+    byte_identical flag flips false — never silently passed as a match.
+    """
+
+    def _flag(self, spark, html_bytes: bytes, true_text: str):
+        df = spark.createDataFrame(
+            pd.DataFrame({"html": [html_bytes], "text": [true_text]}),
+            "html binary, text string")
+        ext = html_text_expr(F.col("html"))
+        [r] = df.select(
+            ext.alias("extracted_text"),
+            (ext == F.col("text")).alias("byte_identical"),
+        ).collect()
+        return r
+
+    def test_raw_gt_inside_attribute_is_flagged(self, spark):
+        """An attribute containing a raw '>' truncates tag stripping
+        early (documented limitation) — the leftover 'x">' residue must
+        make byte_identical false, not pass."""
+        h = b'<body><div title="a>b">content</div></body>'
+        r = self._flag(spark, h, "content")
+        assert r.byte_identical is False
+        assert r.extracted_text != "content"
+
+    def test_missing_head_close_is_flagged(self, spark):
+        """A page missing </head> leaves head chrome in the extracted
+        text (documented limitation) — flagged, not silently equal."""
+        h = b"<html><head><title>CHROME</title><body>content</body></html>"
+        r = self._flag(spark, h, "content")
+        assert r.byte_identical is False
+        assert "CHROME" in r.extracted_text
+
+    def test_wellformed_page_still_passes(self, spark):
+        """Control: inside the subset the flag stays true."""
+        h = b"<html><head><title>t</title></head><body>content</body></html>"
+        r = self._flag(spark, h, "content")
+        assert r.byte_identical is True and r.extracted_text == "content"
+
+    def test_fuzz_raw_gt_attributes_never_silently_match(self, spark):
+        """Deterministic fuzz over attribute payloads with raw '>':
+        whenever the scalar reference shows the extraction diverges
+        from the true text, the Spark-side flag must be false — and
+        Spark must agree with the scalar reference byte-for-byte (the
+        subset breaking must not desynchronize the twins)."""
+        cases = []
+        for i, payload in enumerate(
+                ["a>b", ">", "x > y", 'q">residue', "a>>b", "-->"]):
+            body = f"w{i} content"
+            h = f'<body><p title="{payload}">{body}</p></body>'.encode()
+            cases.append((h, body))
+        df = spark.createDataFrame(
+            pd.DataFrame({"html": [h for h, _ in cases],
+                          "text": [t for _, t in cases]}),
+            "html binary, text string")
+        ext = html_text_expr(F.col("html"))
+        rows = df.select(
+            "html", "text", ext.alias("extracted_text"),
+            (ext == F.col("text")).alias("byte_identical"),
+        ).collect()
+        assert len(rows) == len(cases)
+        for r in rows:
+            want = html_text_python(bytes(r.html))
+            assert r.extracted_text == want  # twins stay in lockstep
+            assert r.byte_identical is (want == r.text)
+            if want != r.text:
+                assert r.byte_identical is False  # surfaced, not passed
+
+
 def test_from_html_flagship_equals_text_flagship(spark, sf_dir):
     pages = webpages_from_documents(spark, sf_dir)
     base = filter_scrub_pipeline(pages, CFG).df
