@@ -1580,92 +1580,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker sat at position 61, silently dropping 11 documented entries
     out of the gate).
 
-    Round-4 window = (a) the two r03 array-hash-red entries, now
-    projected hashable (kmeans_centroids, media_features); (b) new
-    round-4 entries (html_extract + flagship_from_html — the crawl
-    front door, byte-identical-extraction invariant — plus zip_ingest,
-    ivf_trained_topk, dsir_weights + dsir_topk — DSIR hashed-ngram
-    importance resampling — quality_classifier — supervised
-    hashed-ngram logreg filter — ccnet_buckets — per-language
-    perplexity head/middle/tail — and bpe_merges — distributed BPE
-    tokenizer training) and incremental_dedup
-    whose oracle SQL changed; (c) the pipelines whose code was touched
-    this round (scrub seam → clean_text/ner/pii/flagships; lines.py
-    anchor → c4/line_dedup/web_preprocess); (d) the 11 entries the r03
-    marker bug left unchecked since r02; (e) what remains of the r02 tail (w2/w3/u1/f4-f12 plus nine
-    r02-green relational trivia rotated just below the boundary to
-    make room for the round-4 additions and for the entries whose
-    operator code this round's HOF rewrites touched), all
-    last verified in CORRECTNESS_r02. The rotated-out tail (51+) is all
-    r03-driver-green on unchanged code (verdicts on record in
-    CORRECTNESS_r03.json); media_scrub sits there permanently — it is
-    rows-only by design (no_oracle) and must not burn a window slot
-    (VERDICT r03 item 2); its value coverage lives in media_scrub_hex."""
+    Round-5 window = (a) the entries whose operator code round 5
+    touched (lines.py fingerprint-keyed exchange → c4_line_filter /
+    line_dedup / web_preprocess; bpe.py driver-side merge loop →
+    bpe_merges; classifier.py explode_outer empty-doc fix →
+    quality_classifier; html extraction breakage-surfacing tests →
+    html_extract / flagship_from_html); (b) ALL 21 entries whose last
+    driver verdict is r02 (VERDICT r04 item 7: explode_pos, w1, p1/p2/
+    p4/p6, j1/j4, a1, w2/w3, u1, f4-f12); (c) 22 of the 27 windowable
+    entries last verified in r03, oldest first. Five r03-green entries
+    on untouched code stay below the boundary this round
+    (corpus_stats, streaming_scrub, pii_coverage_ext,
+    fb_profile_updates, tt_user_videos) — after r05 lands, no entry's
+    verdict is older than r03. The rotated-out tail (51+) is otherwise
+    all r04-driver-green on unchanged code (CORRECTNESS_r04.json);
+    media_scrub sits there permanently — it is rows-only by design
+    (no_oracle) and must not burn a window slot (VERDICT r03 item 2);
+    its value coverage lives in media_scrub_hex."""
     return {
-        # -- (a) r03 hash-crash entries, projections fixed this round --
-        "kmeans_centroids": q_kmeans_centroids,
-        "media_features": q_media_features,
-        # -- (b) new in round 4 / oracle SQL changed --
-        "html_extract": q_html_extract,
-        "flagship_from_html": q_flagship_from_html,
-        "keep_f1": q_keep_f1,
-        "dedup_keep_best": q_dedup_keep_best,
-        "token_budget_mix": q_token_budget_mix,
-        "zip_ingest": q_zip_ingest,
-        "ivf_trained_topk": q_ivf_trained_topk,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_weights": q_dsir_weights,
-        "dsir_topk": q_dsir_topk,
-        "quality_classifier": q_quality_classifier,
-        "ccnet_buckets": q_ccnet_buckets,
-        "bpe_merges": q_bpe_merges,
-        "semdedup_keep": q_semdedup_keep,
-        "nfc_normalize": q_nfc_normalize,
-        # -- (c) code touched this round: scrub seam + line anchor --
-        "clean_text_udf": q_clean_text_udf,
-        "ner_coverage": q_ner_coverage,
-        "pii_coverage": q_pii_coverage,
-        "scrub_bank": q_scrub_bank,
-        "flagship_pipeline": q_flagship_pipeline,
-        "flagship_with_toxicity": q_flagship_with_toxicity,
-        "full_quality_gate": q_full_quality_gate,
+        # -- (a) operator code touched in round 5 --
         "c4_line_filter": q_c4_line_filter,
         "line_dedup": q_line_dedup,
         "web_preprocess": q_web_preprocess,
-        # -- (d) unchecked since r02 (r03 marker bug, ADVICE item 1) --
-        "simhash": q_simhash,
-        "tok_counts": q_tok_counts,
-        "fingerprint": q_fingerprint,
-        "rolling_fp": q_rolling_fp,
-        "a3_pivot_segments": q_a3_pivot_segments,
-        "a3_rollup": q_a3_rollup,
-        "a4_dynamic_pivot": q_a4_dynamic_pivot,
-        "u2_interleaved": q_u2_interleaved,
-        "p8_routing": q_p8_routing,
-        "s2_from_json": q_s2_from_json,
-        "s3_txt_kv": q_s3_txt_kv,
-        # -- (e) the r02 tail, last verified in CORRECTNESS_r02 --
-        # -- (f) entries whose OPERATOR code the round-4 HOF rewrites
-        # touched (shingles/zip-chain, window hashes, chunk fold,
-        # top-bigram zip_with) — must re-earn driver verdicts
-        "minhash_signature": q_minhash_signature,
-        "lsh_pairs": q_lsh_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_list": q_dedup_keep_list,
-        "contamination": q_contamination,
-        "substring_dup": q_substring_dup,
-        "chunk_text": q_chunk_text,
-        "quality_repetition": q_quality_repetition,
-        "a2_groupby_count": q_a2_groupby_count,
-        "a5_category_extract": q_a5_category_extract,
-        "a6_distinct": q_a6_distinct,
-        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
-        # everything below is r02/r03-driver-green on unchanged code
-        # (w2/w3/u1/f4-f12 rotated out for the round-4 additions: html
-        # front door, keep_f1, dedup_keep_best, token_budget_mix, DSIR,
-        # quality_classifier, ccnet_buckets, bpe_merges, semdedup_keep,
-        # nfc_normalize)
+        "bpe_merges": q_bpe_merges,
+        "quality_classifier": q_quality_classifier,
+        "html_extract": q_html_extract,
+        "flagship_from_html": q_flagship_from_html,
+        # -- (b) all 21 entries whose last verdict is r02 --
         "explode_pos": q_explode_pos,
         "w1_photo_seq": q_w1_photo_seq,
         "p1_date_filter_events": q_p1_date_filter_events,
@@ -1687,16 +1628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_img_ext": q_f10_img_ext,
         "f11_ph_num": q_f11_ph_num,
         "f12_json_path": q_f12_json_path,
-        "corpus_stats": q_corpus_stats,
-        "streaming_scrub": q_streaming_scrub,
-        "pii_coverage_ext": q_pii_coverage_ext,
+        # -- (c) last verified in r03, re-earning fresh verdicts --
         "ivf_topk": q_ivf_topk,
         "perplexity_udf": q_perplexity_udf,
         "media_scrub_hex": q_media_scrub_hex,
-        "media_scrub": q_media_scrub,  # rows-only by design; never windowed
         "ann_amp_topk": q_ann_amp_topk,
-        "fb_profile_updates": q_fb_profile_updates,
-        "tt_user_videos": q_tt_user_videos,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1715,6 +1651,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "langid_margin": q_langid_margin,
         "exact_dedup": q_exact_dedup,
+        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
+        # everything below is r03/r04-driver-green on unchanged code:
+        # five r03 holdovers listed in the docstring, media_scrub
+        # (rows-only by design), and the r04-verified entries rotated
+        # out to make room for the r02 tail + r03 re-verification
+        "corpus_stats": q_corpus_stats,
+        "streaming_scrub": q_streaming_scrub,
+        "pii_coverage_ext": q_pii_coverage_ext,
+        "fb_profile_updates": q_fb_profile_updates,
+        "tt_user_videos": q_tt_user_videos,
+        "media_scrub": q_media_scrub,  # rows-only by design; never windowed
+        "kmeans_centroids": q_kmeans_centroids,
+        "media_features": q_media_features,
+        "keep_f1": q_keep_f1,
+        "dedup_keep_best": q_dedup_keep_best,
+        "token_budget_mix": q_token_budget_mix,
+        "zip_ingest": q_zip_ingest,
+        "ivf_trained_topk": q_ivf_trained_topk,
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
+        "ccnet_buckets": q_ccnet_buckets,
+        "semdedup_keep": q_semdedup_keep,
+        "nfc_normalize": q_nfc_normalize,
+        "clean_text_udf": q_clean_text_udf,
+        "ner_coverage": q_ner_coverage,
+        "pii_coverage": q_pii_coverage,
+        "scrub_bank": q_scrub_bank,
+        "flagship_pipeline": q_flagship_pipeline,
+        "flagship_with_toxicity": q_flagship_with_toxicity,
+        "full_quality_gate": q_full_quality_gate,
+        "simhash": q_simhash,
+        "tok_counts": q_tok_counts,
+        "fingerprint": q_fingerprint,
+        "rolling_fp": q_rolling_fp,
+        "a3_pivot_segments": q_a3_pivot_segments,
+        "a3_rollup": q_a3_rollup,
+        "a4_dynamic_pivot": q_a4_dynamic_pivot,
+        "u2_interleaved": q_u2_interleaved,
+        "p8_routing": q_p8_routing,
+        "s2_from_json": q_s2_from_json,
+        "s3_txt_kv": q_s3_txt_kv,
+        "minhash_signature": q_minhash_signature,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
+        "contamination": q_contamination,
+        "substring_dup": q_substring_dup,
+        "chunk_text": q_chunk_text,
+        "quality_repetition": q_quality_repetition,
+        "a2_groupby_count": q_a2_groupby_count,
+        "a5_category_extract": q_a5_category_extract,
+        "a6_distinct": q_a6_distinct,
     }
 
 

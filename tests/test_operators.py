@@ -296,20 +296,22 @@ class TestDriverContract:
     def test_windowed_entries_cover_every_touched_module(self):
         """Rotation sanity: the first-50 window must include the
         round's changed-code entries (they are the ones whose verdicts
-        CORRECTNESS_r04 needs fresh)."""
+        CORRECTNESS_r05 needs fresh) and the whole re-verification
+        backlog — every entry whose last driver verdict is r02."""
         import __spark_entry__ as E
 
         window = list(E.queries())[:50]
-        for must in ("kmeans_centroids", "media_features", "zip_ingest",
-                     "ivf_trained_topk", "incremental_dedup",
-                     "clean_text_udf", "c4_line_filter", "web_preprocess",
-                     "html_extract", "flagship_from_html",
-                     # round-4 additions
-                     "dsir_weights", "dsir_topk", "quality_classifier",
-                     "ccnet_buckets", "bpe_merges", "semdedup_keep",
-                     "nfc_normalize",
-                     # operator code rewritten by the round-4 HOF fixes
-                     "minhash_signature", "lsh_pairs", "jaccard_pairs",
-                     "dedup_clusters", "dedup_keep_list", "contamination",
-                     "substring_dup", "chunk_text", "quality_repetition"):
+        for must in (
+                # operator code touched in round 5
+                "c4_line_filter", "line_dedup", "web_preprocess",
+                "bpe_merges", "quality_classifier",
+                "html_extract", "flagship_from_html",
+                # the full last-verdict-r02 backlog (VERDICT r04 item 7)
+                "explode_pos", "w1_photo_seq", "p1_date_filter_events",
+                "p2_orders_window", "p4_nonblank_documents", "p6_anti_join",
+                "j1_semi_flag", "j4_zip_longest", "a1_global_counts",
+                "w2_week_bins", "w3_sort_limit", "u1_union",
+                "f4_parse_when", "f5_time_string", "f6_date_arith",
+                "f7_split_kv", "f8_string_agg", "f9_contains",
+                "f10_img_ext", "f11_ph_num", "f12_json_path"):
             assert must in window, must
