@@ -229,9 +229,15 @@ def main() -> None:
     from social_media_pii_scrubber_spark.operators.lines import (
         c4_line_filter_expr, line_dedup,
     )
-    t0 = t()
+    # lined is cached: it feeds q8, q8b, q14 and q14b, and leaving the
+    # regexp_replace lazy would re-run it map-side in all four — in
+    # q14 that balanced pre-shuffle work dilutes the skew contrast the
+    # query exists to show (the materialization itself is untimed)
     lined = pages.select(
-        "url", F.regexp_replace("text", r" the ", "\nthe ").alias("lined"))
+        "url", F.regexp_replace("text", r" the ", "\nthe ").alias("lined"),
+    ).cache()
+    _count(lined)
+    t0 = t()
     _count(lined.select(c4_line_filter_expr(F.col("lined")).alias("c"))
            .filter("c != ''"))
     timings["q8_c4_line_filter"] = t() - t0
@@ -306,6 +312,7 @@ def main() -> None:
     repartition_by_url(lined, "url", n_partitions=64, n_salts=16
                        ).select(skew_work).collect()
     timings["q14b_skew_repart_salted"] = t() - t0
+    lined.unpersist()
 
     # q7: relational mix — join + agg + window over tpch-ish tables
     t0 = t()

@@ -51,16 +51,31 @@ filter_scrub_pipeline(pages.limit(2000), ScrubConfig(), use_model_udfs=True).df.
 # 3 trials, report the min: the sandbox host shows heavy CPU steal
 # (~46% historical), so single-shot wall clock is throttle-noise;
 # best-of-N approximates the unthrottled steady state at each level.
-best, kept = None, None
+# Each trial carries its own /proc/stat steal window so the emitted
+# artifact proves (or disproves) comparable host conditions across the
+# two legs — a leg measured through a degraded epoch is visible in its
+# trial list, not silently folded into a bogus efficiency number.
+def _steal():
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return (v[7] if len(v) > 7 else 0), sum(v)
+    except OSError:
+        return 0, 0
+best, kept, trials = None, None, []
 for _ in range(3):
+    s0, j0 = _steal()
     t0 = time.time()
     out = filter_scrub_pipeline(pages, ScrubConfig(), use_model_udfs=True).df
     kept = out.filter("keep").count()
     dt = time.time() - t0
-    print(json.dumps({{"cores": cores, "trial_sec": round(dt, 3)}}), file=sys.stderr)
+    s1, j1 = _steal()
+    trials.append({{"sec": round(dt, 3),
+                    "steal_pct": round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2)}})
+    print(json.dumps({{"cores": cores, "trial": trials[-1]}}), file=sys.stderr)
     best = dt if best is None or dt < best else best
 print(json.dumps({{"cores": cores, "rows": n, "kept": kept,
-                   "sec": round(best, 3), "docs_per_sec": round(n / best, 1)}}))
+                   "sec": round(best, 3), "docs_per_sec": round(n / best, 1),
+                   "trials": trials}}))
 spark.stop()
 """
 
@@ -70,20 +85,27 @@ def main() -> None:
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     assert hi == 4 * lo, "pair must be N and 4N"
-    workdir = tempfile.mkdtemp(prefix="scaling_corpus_")
-    src = os.path.join(workdir, "pages")
+    # SCALING_CORPUS_DIR reuses an existing generated corpus (retrying
+    # a steal-hit run shouldn't pay the generation pass again); the
+    # row count must match or the corpus is regenerated in place.
+    reuse = os.environ.get("SCALING_CORPUS_DIR")
+    workdir = reuse or tempfile.mkdtemp(prefix="scaling_corpus_")
+    src = os.path.join(workdir, f"pages_{rows}")
 
-    gen = (
-        "import sys; sys.path.insert(0, {repo!r})\n"
-        "from social_media_pii_scrubber_spark.session import get_spark\n"
-        "from social_media_pii_scrubber_spark.sources.webpages import generate_webpages\n"
-        "spark = get_spark(master='local[32]', shuffle_partitions=32)\n"
-        f"generate_webpages(spark, {rows}, partitions=128).write.mode('overwrite').parquet({src!r})\n"
-        "spark.stop()\n"
-    ).format(repo=REPO)
-    print(f"generating {rows} rows -> {src}", file=sys.stderr)
-    subprocess.run([sys.executable, "-c", gen], check=True,
-                   stderr=subprocess.DEVNULL)
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        gen = (
+            "import sys; sys.path.insert(0, {repo!r})\n"
+            "from social_media_pii_scrubber_spark.session import get_spark\n"
+            "from social_media_pii_scrubber_spark.sources.webpages import generate_webpages\n"
+            "spark = get_spark(master='local[32]', shuffle_partitions=32)\n"
+            f"generate_webpages(spark, {rows}, partitions=128).write.mode('overwrite').parquet({src!r})\n"
+            "spark.stop()\n"
+        ).format(repo=REPO)
+        print(f"generating {rows} rows -> {src}", file=sys.stderr)
+        subprocess.run([sys.executable, "-c", gen], check=True,
+                       stderr=subprocess.DEVNULL)
+    else:
+        print(f"reusing corpus at {src}", file=sys.stderr)
 
     results = {}
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # same heap both legs
@@ -104,8 +126,10 @@ def main() -> None:
         "rows": rows,
         f"local{lo}_docs_per_sec": tlo,
         f"local{lo}_sec": results[lo]["sec"],
+        f"local{lo}_trials": results[lo]["trials"],
         f"local{hi}_docs_per_sec": thi,
         f"local{hi}_sec": results[hi]["sec"],
+        f"local{hi}_trials": results[hi]["trials"],
         f"speedup_{lo}_to_{hi}": round(thi / tlo, 3),
         "scaling_efficiency": round(efficiency, 3),
         "target": 0.8,
