@@ -15,7 +15,7 @@ parquet fixture tables that the oracle SQL reads back with read_parquet
   DuckDB-vs-Spark page-synthesis twins end-to-end, NOT the scrub
   semantics (those are independently locked by hand-written goldens in
   tests/test_scrub.py);
-- ``media_scrub``: same plumbing-level scope (shared _FakeDecoder).
+- ``media_scrub``: same plumbing-level scope (shared _DefaultDecoder).
 
 Fixtures are keyed by a content fingerprint of the source parquet, so a
 regenerated testdata set invalidates them automatically. Generation is
@@ -101,7 +101,7 @@ def ensure_media_scrub_fixture(sf_dir: str) -> str:
     cross-checks the mapInPandas plumbing AND the html synthesis twins."""
     import duckdb
 
-    from ..operators.media import _FakeDecoder
+    from ..operators.media import _DefaultDecoder
     from ..sources.webpages import webpages_from_documents_sql
 
     path = os.path.join(FIXTURE_DIR, f"media_scrub_{_source_key(sf_dir)}.parquet")
@@ -114,7 +114,7 @@ def ensure_media_scrub_fixture(sf_dir: str) -> str:
         pages = con.sql(
             "select url, html from (" + webpages_from_documents_sql() + ")"
         ).df()
-        dec = _FakeDecoder()
+        dec = _DefaultDecoder()
 
         def row(blob):
             blob = bytes(blob)

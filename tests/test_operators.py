@@ -193,7 +193,7 @@ class TestMedia:
         monkeypatch.setitem(sys.modules, "PIL", types.ModuleType("PIL"))
         monkeypatch.setattr(media, "_DECODER_CACHE", {})
         dec = media._get_decoder()
-        assert isinstance(dec, media._FakeDecoder)
+        assert isinstance(dec, media._DefaultDecoder)
         assert dec.status == "error:decoder"
         pdf = pd.DataFrame({"url": ["u1", "u2"],
                             "html": [b"0123456789" * 3, None]})
