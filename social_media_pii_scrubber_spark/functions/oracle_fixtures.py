@@ -132,6 +132,74 @@ def ensure_media_scrub_fixture(sf_dir: str) -> str:
     return path
 
 
+def _bmp_scrub_python(blob: bytes, k: int) -> tuple[str, int, int]:
+    """Independent replication of the BMP scrub: own header parse +
+    naive O(k²) edge-clamped box blur in float64 + own re-encode —
+    shares NO code with operators/media._BmpKernel (whose blur is
+    separable float32). Exact agreement is guaranteed, not hoped for:
+    blur values are rationals n/k² whose distance to any .5 rounding
+    boundary is ≥ 1/(2k²) ≈ 0.0102 at k=7, while the separable-float32
+    error is ~1e-4 — rint() lands identically in both."""
+    import numpy as np
+
+    off = int.from_bytes(blob[10:14], "little")
+    w = int.from_bytes(blob[18:22], "little", signed=True)
+    h = int.from_bytes(blob[22:26], "little", signed=True)
+    bottom_up = h > 0
+    height = abs(h)
+    row = (w * 3 + 3) // 4 * 4
+    arr = (np.frombuffer(blob, np.uint8, count=row * height, offset=off)
+           .reshape(height, row)[:, : w * 3].reshape(height, w, 3))
+    if bottom_up:
+        arr = arr[::-1]
+    arr = arr.copy()
+    y0, y1, x0, x1 = height // 4, 3 * height // 4, w // 4, 3 * w // 4
+    sub = arr[y0:y1, x0:x1]
+    if sub.size:
+        hh, ww = sub.shape[:2]
+        pad = k // 2
+        acc = np.zeros(sub.shape, np.float64)
+        for dy in range(-pad, pad + 1):
+            for dx in range(-pad, pad + 1):
+                ys = np.clip(np.arange(hh) + dy, 0, hh - 1)
+                xs = np.clip(np.arange(ww) + dx, 0, ww - 1)
+                acc += sub[ys][:, xs]
+        arr[y0:y1, x0:x1] = np.rint(acc / (k * k)).clip(0, 255).astype(np.uint8)
+    out = np.zeros((height, row), np.uint8)
+    a = arr[::-1] if bottom_up else arr
+    out[:, : w * 3] = a.reshape(height, w * 3)
+    return (blob[:off] + out.tobytes()).hex().upper(), w, height
+
+
+def ensure_media_bmp_fixture(sf_dir: str) -> str:
+    """(url, scrubbed_hex, width, height, status) for the REAL numpy
+    BMP kernel: synthetic_bmp inputs per doc_id, scrub replicated by
+    _bmp_scrub_python (naive-blur, code-independent)."""
+    import duckdb
+
+    from ..operators.media import _BmpKernel, synthetic_bmp
+
+    path = os.path.join(
+        FIXTURE_DIR, f"media_bmp_{_source_key(sf_dir)}.parquet")
+    if not os.path.exists(path):
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        con = duckdb.connect()
+        ids = con.sql(
+            f"select doc_id from '{sf_dir}/documents.parquet'"
+        ).df()
+        rows = [(_bmp_scrub_python(synthetic_bmp(int(i)), _BmpKernel.K))
+                for i in ids.doc_id]
+        ids["url"] = ids.doc_id.astype(str)
+        ids["scrubbed_hex"] = [r[0] for r in rows]
+        ids["width"] = [r[1] for r in rows]
+        ids["height"] = [r[2] for r in rows]
+        ids = ids.astype({"width": "int64", "height": "int64"})
+        ids["status"] = "ok"
+        _atomic_write_parquet(
+            ids[["url", "scrubbed_hex", "width", "height", "status"]], path)
+    return path
+
+
 def ensure_media_features_fixture(sf_dir: str) -> str:
     """(url, features as a comma-joined micro-unit string) via the same
     byte-histogram kernel applied driver-side to the DuckDB-rendered

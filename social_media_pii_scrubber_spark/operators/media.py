@@ -191,6 +191,46 @@ class _BmpKernel:
         cls.blur_region(arr, h // 4, 3 * h // 4, w // 4, 3 * w // 4)
         return cls.encode(arr, meta)
 
+    @staticmethod
+    def build(arr, bottom_up: bool = True) -> bytes:
+        """(H, W, 3) uint8 top-down array → a fresh spec-valid 54-byte
+        BITMAPINFOHEADER 24-bit BI_RGB file (the from-scratch writer;
+        ``encode`` is the header-preserving re-encode)."""
+        import numpy as np
+
+        h, w = arr.shape[:2]
+        row_bytes = (w * 3 + 3) // 4 * 4
+        size = 54 + row_bytes * h
+        hdr = b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        hdr += (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        hdr += w.to_bytes(4, "little", signed=True)
+        hdr += (h if bottom_up else -h).to_bytes(4, "little", signed=True)
+        hdr += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        hdr += (0).to_bytes(4, "little")
+        hdr += (row_bytes * h).to_bytes(4, "little") + b"\x00" * 16
+        rows = np.zeros((h, row_bytes), np.uint8)
+        a = arr[::-1] if bottom_up else arr
+        rows[:, : w * 3] = a.reshape(h, w * 3)
+        return hdr + rows.tobytes()
+
+
+def synthetic_bmp(doc_id: int) -> bytes:
+    """Deterministic 24-bit BMP derived from doc_id alone: dims 9-16 ×
+    8-13 (odd widths exercise row padding), arithmetic pixel pattern
+    (no RNG), alternating bottom-up/top-down storage. The input
+    definition shared by the ``media_bmp_scrub`` gate query and its
+    fixture replication — the independently-replicated part is the
+    SCRUB (oracle_fixtures._bmp_scrub_python's naive O(k²) blur), not
+    the input synthesis, same division of labor as the webpages twins.
+    """
+    import numpy as np
+
+    w = 9 + doc_id % 8
+    h = 8 + doc_id % 6
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    arr = ((doc_id * 31 + y * 17 + x * 7 + c * 3) % 256).astype(np.uint8)
+    return _BmpKernel.build(arr, bottom_up=(doc_id % 2 == 0))
+
 
 class _DefaultDecoder:
     """Per-worker decoder: REAL numpy kernel for BMP blobs

@@ -109,6 +109,28 @@ class TestBlur:
         assert _BmpKernel.scrub(make_bmp(src)) == make_bmp(src)
 
 
+class TestFixtureReplicationParity:
+    def test_kernel_matches_independent_naive_replication(self):
+        """The gate fixture's _bmp_scrub_python (naive float64 blur,
+        own parser/encoder) must agree byte-for-byte with the separable
+        float32 kernel across the whole synthetic_bmp input family —
+        the rounding-boundary argument in its docstring, exercised."""
+        from social_media_pii_scrubber_spark.functions.oracle_fixtures import (
+            _bmp_scrub_python,
+        )
+        from social_media_pii_scrubber_spark.operators.media import (
+            synthetic_bmp,
+        )
+
+        for doc_id in range(0, 96):  # covers all 24 (w, h, order) combos
+            blob = synthetic_bmp(doc_id)
+            want_hex, w, h = _bmp_scrub_python(blob, _BmpKernel.K)
+            got = _BmpKernel.scrub(blob)
+            assert got.hex().upper() == want_hex, doc_id
+            _, meta = _BmpKernel.decode(blob)
+            assert (meta["w"], meta["h"]) == (w, h)
+
+
 class TestDispatchAndSpark:
     def test_default_decoder_dispatches_on_magic(self):
         dec = _DefaultDecoder()
