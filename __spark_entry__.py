@@ -29,6 +29,7 @@ from social_media_pii_scrubber_spark.operators import dates as D
 from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators import contamination as CT
 from social_media_pii_scrubber_spark.operators import dedup as DD
+from social_media_pii_scrubber_spark.operators import hosts as HOSTS
 from social_media_pii_scrubber_spark.operators import classifier as CL
 from social_media_pii_scrubber_spark.operators import dsir as DS
 from social_media_pii_scrubber_spark.operators import evaluation as EV
@@ -1607,6 +1608,56 @@ def q_clean_text_udf(spark, sf):
     )
 
 
+def _spamhost_pages(spark, sf):
+    """webpages + a planted all-junk host: 20 pages on spamfarm.example
+    sharing one low-quality text (keep_frac 0, dup_frac 19/20) — the
+    host the reputation filter must drop; both engines derive the
+    planting from doc_id."""
+    pages = webpages_from_documents(spark, sf).select("url", "text")
+    spam = _t(spark, sf, "documents").filter(F.col("doc_id") < 20).select(
+        F.concat(F.lit("https://spamfarm.example/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("$$$ @@@ ###").alias("text"),
+    )
+    return pages.unionByName(spam)
+
+
+def _spamhost_pages_sql():
+    return (
+        "select url, text from (" + webpages_from_documents_sql() + ") "
+        "union all select 'https://spamfarm.example/p/' || "
+        "cast(doc_id as varchar) as url, '$$$ @@@ ###' as text "
+        "from documents where doc_id < 20"
+    )
+
+
+def q_host_reputation(spark, sf):
+    """Host/domain reputation dimension (round 5; CCNet per-domain
+    stats / RefinedWeb URL-curation shape): one partial-agg'd
+    groupBy(host) rollup of page count, duplicate fraction, mean
+    length, heuristic-keep fraction. Ratios are single divisions of
+    exact integer aggregates, so the cross-engine value hash is
+    bit-stable (no float-sum ordering anywhere). Input plants an
+    all-junk spamfarm host next to the 37 synthesized hosts."""
+    from social_media_pii_scrubber_spark.operators import hosts as HO
+
+    _pin_session(spark)
+    return HO.host_stats(_spamhost_pages(spark, sf))
+
+
+def q_host_filter(spark, sf):
+    """Reputation filter-back: every page of a host failing the
+    thresholds is dropped via a plain (never hint-broadcast) left_anti
+    join on host — the planted spamfarm host vanishes, the organic
+    hosts survive; both engines agree row-for-row."""
+    from social_media_pii_scrubber_spark.operators import hosts as HO
+
+    _pin_session(spark)
+    pages = _spamhost_pages(spark, sf)
+    return HO.host_reputation_filter(
+        pages, HO.host_stats(pages)).select("url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordering is deliberate: the driver gate checks the FIRST 50 keys
     in insertion order, so the window is rotated each round to give
@@ -1621,14 +1672,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bpe_merges; classifier.py explode_outer empty-doc fix →
     quality_classifier; html extraction breakage-surfacing tests →
     html_extract / flagship_from_html; NEW media_bmp_scrub — the real
-    numpy BMP kernel vs an independent naive-blur fixture); (b) ALL 21
-    entries whose last driver verdict is r02 (VERDICT r04 item 7:
-    explode_pos, w1, p1/p2/p4/p6, j1/j4, a1, w2/w3, u1, f4-f12);
-    (c) 21 of the 27 windowable entries last verified in r03, oldest
-    first. Six r03-green entries on untouched code stay below the
-    boundary this round (corpus_stats, streaming_scrub,
-    pii_coverage_ext, fb_profile_updates, tt_user_videos, exact_dedup)
-    — after r05 lands, no entry's verdict is older than r03. The rotated-out tail (51+) is otherwise
+    numpy BMP kernel vs an independent naive-blur fixture; NEW
+    host_reputation + host_filter — per-domain rollup and filter-back);
+    (b) ALL 21 entries whose last driver verdict is r02 (VERDICT r04
+    item 7: explode_pos, w1, p1/p2/p4/p6, j1/j4, a1, w2/w3, u1,
+    f4-f12); (c) 19 of the 27 windowable entries last verified in r03,
+    oldest first. Eight r03-green entries on untouched code stay below
+    the boundary this round (corpus_stats, streaming_scrub,
+    pii_coverage_ext, fb_profile_updates, tt_user_videos, exact_dedup,
+    langid, langid_margin) — after r05 lands, no entry's verdict is
+    older than r03. The rotated-out tail (51+) is otherwise
     all r04-driver-green on unchanged code (CORRECTNESS_r04.json);
     media_scrub sits there permanently — it is rows-only by design
     (no_oracle) and must not burn a window slot (VERDICT r03 item 2);
@@ -1643,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "flagship_from_html": q_flagship_from_html,
         "media_bmp_scrub": q_media_bmp_scrub,  # NEW: real numpy BMP kernel
+        "host_reputation": q_host_reputation,  # NEW: per-domain rollup
+        "host_filter": q_host_filter,          # NEW: reputation filter-back
         # -- (b) all 21 entries whose last verdict is r02 --
         "explode_pos": q_explode_pos,
         "w1_photo_seq": q_w1_photo_seq,
@@ -1685,14 +1740,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_char_lm": q_train_char_lm,
         "quality_heuristics": q_quality_heuristics,
         "toxicity": q_toxicity,
-        "langid": q_langid,
-        "langid_margin": q_langid_margin,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r03/r04-driver-green on unchanged code:
-        # five r03 holdovers listed in the docstring (+ exact_dedup,
-        # displaced by the new media_bmp_scrub entry), media_scrub
-        # (rows-only by design), and the r04-verified entries rotated
-        # out to make room for the r02 tail + r03 re-verification
+        # r03 holdovers listed in the docstring (incl. exact_dedup/
+        # langid/langid_margin, displaced by the three new round-5
+        # entries), media_scrub (rows-only by design), and the
+        # r04-verified entries rotated out to make room for the r02
+        # tail + r03 re-verification
+        "langid": q_langid,
+        "langid_margin": q_langid_margin,
         "exact_dedup": q_exact_dedup,
         "corpus_stats": q_corpus_stats,
         "streaming_scrub": q_streaming_scrub,
@@ -2167,6 +2223,12 @@ def oracle_sql() -> dict[str, str]:
             OF.ensure_media_bmp_fixture, ORACLE_SF,
             "url, scrubbed_hex, width, height, status",
         ),
+        "host_reputation": HOSTS.host_stats_sql(
+            "(" + _spamhost_pages_sql() + ")"),
+        "host_filter": ("select url from ("
+                        + HOSTS.host_reputation_filter_sql(
+                            "(" + _spamhost_pages_sql() + ")")
+                        + ")"),
         # the Spark side computes within_tol vs the fixture itself (the
         # epsilon comparison can't live in a hash), so the oracle pins
         # the expected shape: every cell within tolerance.

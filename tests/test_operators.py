@@ -306,6 +306,7 @@ class TestDriverContract:
                 "c4_line_filter", "line_dedup", "web_preprocess",
                 "bpe_merges", "quality_classifier",
                 "html_extract", "flagship_from_html", "media_bmp_scrub",
+                "host_reputation", "host_filter",
                 # the full last-verdict-r02 backlog (VERDICT r04 item 7)
                 "explode_pos", "w1_photo_seq", "p1_date_filter_events",
                 "p2_orders_window", "p4_nonblank_documents", "p6_anti_join",
