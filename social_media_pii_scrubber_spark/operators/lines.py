@@ -92,12 +92,18 @@ def c4_line_filter_sql(text: str, min_words: int = MIN_WORDS) -> str:
 
 
 def line_dedup(docs: DataFrame, text_col: str, id_col: str,
-               min_words: int = MIN_WORDS) -> DataFrame:
+               min_words: int = MIN_WORDS, sep: str = "\n") -> DataFrame:
     """(id, text_deduped): corpus-global exact line dedup.
 
     Every qualifying line (>= min_words words) survives only at its
     first occurrence ordered by (doc id, line position); short lines
     always survive. Line order within each doc is preserved.
+
+    ``sep`` sets the dedup granularity: the default "\\n" is C4's
+    line-level rule; "\\n\\n" is RefinedWeb-style PARAGRAPH dedup —
+    same operator, same plan shape, coarser spans. (The separator is
+    passed to Spark's regex split and DuckDB's plain split — stick to
+    regex-neutral separators like newlines.)
     """
     i = F.col(id_col)
     # ONE exchange keyed on the 128-bit line fingerprint (_h1,_h2),
@@ -115,7 +121,7 @@ def line_dedup(docs: DataFrame, text_col: str, id_col: str,
     # line text (VERDICT r04 item 2).
     lines = docs.select(
         i.alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_ln"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_ln"),
     ).select(
         "_id", "_pos", "_ln",
         F.xxhash64("_ln").alias("_h1"),
@@ -146,13 +152,22 @@ def line_dedup(docs: DataFrame, text_col: str, id_col: str,
             F.transform(
                 F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
                 lambda s: s["_ln"],
-            ), "\n").alias("text_deduped"))
+            ), sep).alias("text_deduped"))
         .select(F.col("_id").alias(id_col), "text_deduped")
     )
 
 
+def paragraph_dedup(docs: DataFrame, text_col: str, id_col: str,
+                    min_words: int = MIN_WORDS) -> DataFrame:
+    """RefinedWeb-style corpus-global exact PARAGRAPH dedup:
+    line_dedup at blank-line granularity (sep="\\n\\n")."""
+    return line_dedup(docs, text_col, id_col,
+                      min_words=min_words, sep="\n\n")
+
+
 def line_dedup_sql(table_sql: str, text_col: str, id_col: str,
-                   min_words: int = MIN_WORDS) -> str:
+                   min_words: int = MIN_WORDS,
+                   sep_sql: str = "chr(10)") -> str:
     """DuckDB twin: line-index explode via unnest(generate_series) +
     first-occurrence agg (DuckDB has no WITH ORDINALITY). Keys on the
     raw line, which is semantically identical to the Spark side's
@@ -161,7 +176,7 @@ def line_dedup_sql(table_sql: str, text_col: str, id_col: str,
     fingerprint-free."""
     words = "len(regexp_split_to_array(trim(ln), '\\s+'))"
     return (
-        f"with s as (select {id_col} as _id, split({text_col}, chr(10)) as lns"
+        f"with s as (select {id_col} as _id, split({text_col}, {sep_sql}) as lns"
         f"  from {table_sql}), "
         f"e as (select _id, unnest(generate_series(1, len(lns))) as _pos, lns"
         f"  from s), "
@@ -171,7 +186,7 @@ def line_dedup_sql(table_sql: str, text_col: str, id_col: str,
         f"  from l where length(trim(_ln)) > 0 and {words.replace('ln', '_ln')} >= {min_words}"
         f"  group by _ln) "
         f"select _id as {id_col}, "
-        f"string_agg(_ln, chr(10) order by _pos) as text_deduped "
+        f"string_agg(_ln, {sep_sql} order by _pos) as text_deduped "
         f"from l left join firsts using (_ln) "
         f"where _first is null "
         f"   or (_first.fid = _id and _first.fpos = _pos) "

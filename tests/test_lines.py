@@ -52,6 +52,48 @@ def test_line_dedup_matches_duckdb(spark):
     assert spark_rows == duck
 
 
+PARA_DOCS = [
+    (1, "the shared boilerplate paragraph\nspans two lines here.\n\n"
+        "unique alpha paragraph content."),
+    (2, "unique beta paragraph content.\n\n"
+        "the shared boilerplate paragraph\nspans two lines here."),
+    (3, "tiny\n\nunique gamma paragraph content."),
+]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """sep='\\n\\n' dedups at PARAGRAPH granularity: the shared
+    two-line paragraph survives only in doc 1; single lines inside a
+    paragraph are not dedup units; short paragraphs pass through."""
+    from social_media_pii_scrubber_spark.operators.lines import paragraph_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(PARA_DOCS, columns=["doc_id", "text"]),
+        "doc_id long, text string")
+    got = {r.doc_id: r.text_deduped for r in
+           paragraph_dedup(df, "text", "doc_id").collect()}
+    assert got[1] == PARA_DOCS[0][1]
+    assert got[2] == "unique beta paragraph content."
+    assert got[3] == PARA_DOCS[2][1]  # 'tiny' is short: exempt
+
+
+def test_paragraph_dedup_matches_duckdb(spark):
+    from social_media_pii_scrubber_spark.operators.lines import paragraph_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(PARA_DOCS, columns=["doc_id", "text"]),
+        "doc_id long, text string")
+    spark_rows = {r.doc_id: r.text_deduped for r in
+                  paragraph_dedup(df, "text", "doc_id").collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(PARA_DOCS, columns=["doc_id", "text"]))
+    duck = {int(r.doc_id): r.text_deduped for r in
+            con.sql(line_dedup_sql("t", "text", "doc_id",
+                                   sep_sql="chr(10)||chr(10)"))
+            .df().itertuples()}
+    assert spark_rows == duck
+
+
 def test_c4_line_filter(spark):
     text = ("good sentence with enough words.\n"
             "no terminal punctuation here at all\n"
