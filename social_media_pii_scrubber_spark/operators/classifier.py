@@ -246,7 +246,10 @@ def classifier_score_expr(text: Column, weights: dict, bias: float = 0.0,
     distilled/pruned models that fit an expression map literal
     (≤ ~10k entries — codegen size, not correctness, is the limit);
     the explode+broadcast-join path (classifier_score) remains the
-    full-width batch shape."""
+    full-width batch shape — and the faster one: measured at 1M docs /
+    4096 buckets on local[32], join 5.4-8.3 s vs this interpreted-HOF
+    fold 22-36 s. Use this form for its STREAMING composability
+    (stateless projection), not for batch speed."""
     if not weights:
         return F.lit(float(bias))
     pairs = []
