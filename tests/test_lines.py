@@ -94,6 +94,42 @@ def test_paragraph_dedup_matches_duckdb(spark):
     assert spark_rows == duck
 
 
+def test_line_dedup_randomized_cross_engine(spark):
+    """Seeded random corpora with a tiny line vocabulary (to force
+    heavy cross-doc and within-doc duplication, empty lines, and
+    short-line exemptions) must agree across engines — this locks the
+    fingerprint-keyed rewrite against the raw-line-keyed DuckDB twin
+    over many more shapes than the fixed cases above."""
+    import random
+
+    rng = random.Random(11)
+    lines_pool = [
+        "the quick brown fox jumps over it.",
+        "a second content line for the pool here.",
+        "short",
+        "",
+        "another sufficiently long content line appears.",
+        "x y",
+        "the final pooled line of content text.",
+    ]
+    for trial in range(4):
+        docs = []
+        for doc_id in range(rng.randint(3, 12)):
+            n = rng.randint(0, 8)
+            docs.append((doc_id, "\n".join(
+                rng.choice(lines_pool) for _ in range(n))))
+        pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+        df = spark.createDataFrame(pdf, "doc_id long, text string")
+        got = {r.doc_id: r.text_deduped for r in
+               line_dedup(df, "text", "doc_id").collect()}
+        con = duckdb.connect()
+        con.register("t", pdf)
+        want = {int(r.doc_id): r.text_deduped for r in
+                con.sql(line_dedup_sql("t", "text", "doc_id"))
+                .df().itertuples()}
+        assert got == want, trial
+
+
 def test_c4_line_filter(spark):
     text = ("good sentence with enough words.\n"
             "no terminal punctuation here at all\n"
