@@ -27,7 +27,7 @@ Env knobs:
   BENCH_WEB_ROWS       generated web-corpus size (default 1_000_000)
   BENCH_STEAL_GATE     steal%% gate for the headline (default 2.0)
   BENCH_MAX_ATTEMPTS   headline attempts (default 5)
-  BENCH_RETRY_SLEEP    seconds between gated attempts (default 45)
+  BENCH_RETRY_SLEEP    seconds between gated attempts (default 30)
 """
 
 from __future__ import annotations
@@ -53,7 +53,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "1000000"))
 STEAL_GATE_PCT = float(os.environ.get("BENCH_STEAL_GATE", "2.0"))
 MAX_ATTEMPTS = int(os.environ.get("BENCH_MAX_ATTEMPTS", "5"))
-RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", "45"))
+RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", "30"))
 CFG = ScrubConfig()
 
 
