@@ -42,7 +42,11 @@ FIXTURE_DIR = os.path.join(
 # from older code can never be read back as oracle truth.
 # v5: html synthesis gained head/script/style/comment chrome + entity
 # escaping (functions/html.py) — media fixtures hash the html bytes.
-FIXTURE_SEMANTICS_VERSION = 5
+# v6: the shared media decoder dispatches BM-magic blobs to the real
+# BMP kernel (operators/media.py round 5) and the media_bmp fixture
+# family exists — any fixture generated against pre-dispatch or
+# mid-iteration kernel code must be invalidated.
+FIXTURE_SEMANTICS_VERSION = 6
 
 
 def _source_key(sf_dir: str, table: str = "documents.parquet") -> str:

@@ -198,17 +198,18 @@ def train_bpe(df: DataFrame, text_col: str, n_merges: int,
     remains. ``min_count`` > 1 is the web-scale profile: prune the
     crawl's singleton junk types before iterating.
 
-    One corpus pass collapses to the weighted type vocab; if at most
-    ``driver_vocab_max`` types survive pruning (checked with a
-    limit-guarded collect — no second pass), the merge loop finishes
-    driver-side in one Spark job total; otherwise the per-merge
-    distributed loop runs. All paths produce identical merges."""
+    One corpus pass collapses to the weighted type vocab, which is
+    localCheckpointed so the size guard, the driver collect, and the
+    distributed fallback all read the materialized vocab — the corpus
+    is never collapsed twice, and a vocab over ``driver_vocab_max``
+    costs one count() on the checkpoint, not a discarded driver-sized
+    transfer. All paths produce identical merges."""
     vocab = word_vocab(df, text_col, min_count=min_count)
     if driver_vocab_max > 0:
-        rows = vocab.limit(driver_vocab_max + 1).collect()
-        if len(rows) <= driver_vocab_max:
+        vocab = vocab.localCheckpoint(eager=True)  # the one corpus pass
+        if vocab.count() <= driver_vocab_max:
             return _merge_loop_weighted(
-                {r["w"]: r["cnt"] for r in rows}, n_merges)
+                {r["w"]: r["cnt"] for r in vocab.collect()}, n_merges)
     return _train_bpe_distributed(
         vocab.select("cnt", F.split(F.col("w"), "").alias("syms")), n_merges)
 

@@ -33,9 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions import quality as Q
 from ..functions.text import fingerprint_expr, fingerprint_sql
-from ..plans.partitioning import url_host_expr
-
-HOST_RE = r"^[a-z]+://([^/]+)"
+from ..plans.partitioning import HOST_RE, url_host_expr
 
 MIN_KEEP_FRAC = 0.25   # host must keep ≥ this fraction of its pages
 MAX_DUP_FRAC = 0.5     # ... and duplicate at most this fraction

@@ -106,13 +106,11 @@ class _BmpKernel:
         return len(blob) >= 2 and blob[:2] == b"BM"
 
     @staticmethod
-    def decode(blob: bytes):
-        """blob → ((H, W, 3) uint8 top-down RGB-order-as-stored, meta).
-        Raises ValueError on anything but a complete uncompressed
-        24-bit BI_RGB file (the per-record error channel catches it).
-        """
-        import numpy as np
-
+    def header_meta(blob: bytes) -> dict:
+        """Header-only parse: validates the file and returns the meta
+        dict WITHOUT touching the pixel array — O(1), the cheap path
+        for dimension queries (decode_meta calls this so the hot
+        mapInPandas loop doesn't decode every image twice)."""
         if len(blob) < 54:
             raise ValueError("truncated BMP header")
         off = int.from_bytes(blob[10:14], "little")
@@ -129,6 +127,20 @@ class _BmpKernel:
         row_bytes = (w * 3 + 3) // 4 * 4
         if len(blob) < off + row_bytes * height:
             raise ValueError("truncated BMP pixel data")
+        return {"w": w, "h": height, "off": off, "row_bytes": row_bytes,
+                "bottom_up": bottom_up, "header": blob[:off]}
+
+    @staticmethod
+    def decode(blob: bytes):
+        """blob → ((H, W, 3) uint8 top-down RGB-order-as-stored, meta).
+        Raises ValueError on anything but a complete uncompressed
+        24-bit BI_RGB file (the per-record error channel catches it).
+        """
+        import numpy as np
+
+        meta = _BmpKernel.header_meta(blob)
+        off, w, height = meta["off"], meta["w"], meta["h"]
+        row_bytes, bottom_up = meta["row_bytes"], meta["bottom_up"]
         arr = (
             np.frombuffer(blob, np.uint8, count=row_bytes * height,
                           offset=off)
@@ -137,8 +149,6 @@ class _BmpKernel:
         )
         if bottom_up:
             arr = arr[::-1]
-        meta = {"w": w, "h": height, "off": off, "row_bytes": row_bytes,
-                "bottom_up": bottom_up, "header": blob[:off]}
         return arr.copy(), meta
 
     @staticmethod
@@ -246,7 +256,7 @@ class _DefaultDecoder:
 
     def decode_meta(self, blob: bytes) -> tuple[int, int]:
         if _BmpKernel.is_bmp(blob):
-            _, meta = _BmpKernel.decode(blob)
+            meta = _BmpKernel.header_meta(blob)  # O(1): no pixel decode
             return meta["w"], meta["h"]
         # fake dimensions derived deterministically from content
         return (len(blob) % 640 + 16, len(blob) % 480 + 16)

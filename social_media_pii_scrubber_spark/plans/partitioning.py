@@ -15,9 +15,14 @@ from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 256
 
+# shared with operators/hosts.py url_host_sql — ONE pattern literal so
+# the Spark expr and its DuckDB twin cannot drift (CLAUDE.md twin
+# invariant)
+HOST_RE = r"^[a-z]+://([^/]+)"
+
 
 def url_host_expr(url: Column) -> Column:
-    return F.regexp_extract(url, r"^[a-z]+://([^/]+)", 1)
+    return F.regexp_extract(url, HOST_RE, 1)
 
 
 def url_bucket_expr(url: Column, n_buckets: int = DEFAULT_BUCKETS) -> Column:
