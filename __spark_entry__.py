@@ -635,6 +635,21 @@ def q_line_dedup(spark, sf):
         d.select("doc_id", _LINES_SPARK().alias("lined")), "lined", "doc_id")
 
 
+_PARAS_SPARK = lambda: F.regexp_replace(F.col("text"), r" and ", "\n\nand ")  # noqa: E731
+_PARAS_SQL = "regexp_replace(text, ' and ', chr(10) || chr(10) || 'and ', 'g')"
+
+
+def q_paragraph_dedup(spark, sf):
+    """RefinedWeb-style corpus-global exact PARAGRAPH dedup: the
+    line_dedup operator at blank-line granularity (sep="\\n\\n") over
+    planted paragraph breaks — same reused-exchange plan, coarser
+    spans. Also exercises the r06 literal-separator guarantee (sep is
+    regex-escaped before F.split; ADVICE r05)."""
+    d = _t(spark, sf, "documents")
+    return LN.paragraph_dedup(
+        d.select("doc_id", _PARAS_SPARK().alias("para")), "para", "doc_id")
+
+
 def q_c4_line_filter(spark, sf):
     """C4 line rules: terminal punctuation + >=4 words + no boilerplate."""
     d = _t(spark, sf, "documents")
@@ -890,6 +905,87 @@ def _web_preprocess_sql() -> str:
         f"{S.scrub_bank_sql(LN.c4_line_filter_sql('lined'))} as clean_text "
         f"from rows join first using (canonical_url, doc_id)"
     )
+
+
+# corpus_build plantings (shared Spark/SQL constants — single-quote-free
+# so the SQL rendering needs no escaping)
+_CB_BOILER = "this shared boilerplate navigation line appears on many crawled pages."
+_CB_SOUP = "$$$ ### @!~% symbol soup junk page "
+_CB_TAIL = " near duplicate trailing tail marker words"
+
+
+def q_corpus_build(spark, sf):
+    """The COMPOSED end-to-end corpus-build job (jobs/build_corpus.py,
+    VERDICT r05 item 3): url canonicalize + canonical-url dedup → line
+    dedup → exact dedup → near-dup dedup → host reputation filter →
+    quality/repetition/toxicity gate → hashed-ngram classifier → per-
+    lang token-budget mix → pack assignment → PII scrub, value-checked
+    end to end against the identical DuckDB stage chain.
+
+    Plantings (all doc_id-derived, reproduced in the SQL twin):
+    - doc_id%10==0 carries the PREVIOUS doc's url + tracking param →
+      canonical-url collisions (canon dedup drops them);
+    - doc_id%5==0 prepends a shared boilerplate line → corpus-global
+      line dedup strips it everywhere but its first occurrence;
+    - doc_id%7==3 carries the previous doc's raw text + a short tail →
+      near-dup pairs for the LSH→jaccard→components stage;
+    - host13 (doc_id%37==13, except the %5==0 pages) is symbol soup →
+      the host's keep_frac fails the reputation threshold and the
+      host's GOOD pages are dropped by the host filter specifically."""
+    from jobs.build_corpus import build_corpus
+
+    _pin_session(spark)
+    d = _t(spark, sf, "documents")
+    prev = d.select((F.col("doc_id") + 1).alias("doc_id"),
+                    F.col("text").alias("_prev"))
+    src = d.join(prev, on="doc_id", how="left")
+    i = F.col("doc_id")
+    own = F.concat(F.lit("https://host"), (i % 37).cast("string"),
+                   F.lit(".example/doc/"), i.cast("string"))
+    dup = F.concat(F.lit("https://host"), ((i - 1) % 37).cast("string"),
+                   F.lit(".example/doc/"), (i - 1).cast("string"),
+                   F.lit("?utm_source=mirror#dup"))
+    url = F.when((i % 10 == 0) & (i > 0), dup).otherwise(own)
+    body = (
+        F.when((i % 37 == 13) & (i % 5 != 0),
+               F.concat(F.lit(_CB_SOUP), i.cast("string")))
+        .when((i % 7 == 3) & (i > 0),
+              F.concat(F.coalesce(F.col("_prev"), F.lit("")), F.lit(_CB_TAIL)))
+        .otherwise(F.col("text"))
+    )
+    text = F.when(i % 5 == 0,
+                  F.concat(F.lit(_CB_BOILER + "\n"), body)).otherwise(body)
+    pages = src.select("doc_id", url.alias("url"), text.alias("text"), "lang")
+    return build_corpus(pages, id_col="doc_id", oracle_profile=True,
+                        pack_budget=512, pack_buckets=8)
+
+
+def _corpus_build_sql() -> str:
+    from jobs.build_corpus import build_corpus_sql
+
+    own = ("'https://host' || cast(a.doc_id % 37 as varchar) || "
+           "'.example/doc/' || cast(a.doc_id as varchar)")
+    dup = ("'https://host' || cast((a.doc_id - 1) % 37 as varchar) || "
+           "'.example/doc/' || cast(a.doc_id - 1 as varchar) || "
+           "'?utm_source=mirror#dup'")
+    body = (
+        f"case when a.doc_id % 37 = 13 and a.doc_id % 5 != 0 "
+        f"then '{_CB_SOUP}' || cast(a.doc_id as varchar) "
+        f"when a.doc_id % 7 = 3 and a.doc_id > 0 "
+        f"then coalesce(b.text, '') || '{_CB_TAIL}' "
+        f"else a.text end"
+    )
+    pages = (
+        f"select a.doc_id, "
+        f"case when a.doc_id % 10 = 0 and a.doc_id > 0 then {dup} "
+        f"else {own} end as url, "
+        f"(case when a.doc_id % 5 = 0 then '{_CB_BOILER}' || chr(10) "
+        f"else '' end) || ({body}) as text, "
+        f"a.lang "
+        f"from documents a left join documents b on b.doc_id = a.doc_id - 1"
+    )
+    return build_corpus_sql(f"({pages})", id_col="doc_id",
+                            pack_budget=512, pack_buckets=8)
 
 
 _STREAM_GATE_SEQ = [0]
@@ -1666,39 +1762,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker sat at position 61, silently dropping 11 documented entries
     out of the gate).
 
-    Round-5 window = (a) the entries whose operator code round 5
-    touched (lines.py fingerprint-keyed exchange → c4_line_filter /
-    line_dedup / web_preprocess; bpe.py driver-side merge loop →
-    bpe_merges; classifier.py explode_outer empty-doc fix →
-    quality_classifier; html extraction breakage-surfacing tests →
-    html_extract / flagship_from_html; NEW media_bmp_scrub — the real
-    numpy BMP kernel vs an independent naive-blur fixture; NEW
-    host_reputation + host_filter — per-domain rollup and filter-back);
-    (b) ALL 21 entries whose last driver verdict is r02 (VERDICT r04
-    item 7: explode_pos, w1, p1/p2/p4/p6, j1/j4, a1, w2/w3, u1,
-    f4-f12); (c) 19 of the 27 windowable entries last verified in r03,
-    oldest first. Eight r03-green entries on untouched code stay below
-    the boundary this round (corpus_stats, streaming_scrub,
-    pii_coverage_ext, fb_profile_updates, tt_user_videos, exact_dedup,
-    langid, langid_margin) — after r05 lands, no entry's verdict is
-    older than r03. The rotated-out tail (51+) is otherwise
-    all r04-driver-green on unchanged code (CORRECTNESS_r04.json);
-    media_scrub sits there permanently — it is rows-only by design
-    (no_oracle) and must not burn a window slot (VERDICT r03 item 2);
-    its value coverage lives in media_scrub_hex."""
+    Round-6 window = (a) NEW entries (corpus_build — the composed
+    end-to-end corpus-build job, VERDICT r05 item 3; paragraph_dedup)
+    and entries whose operator code round 6 touched (lines.py literal-
+    sep escaping → line_dedup; media.py offset guard + detector-shaped
+    blur box → media_bmp_scrub / media_scrub_hex; hosts.py embed guard
+    → host_reputation / host_filter; langid.py one-pass projection →
+    langid / langid_margin and every langid-consuming plan:
+    full_quality_gate, keep_f1, flagship_pipeline, flagship_from_html,
+    flagship_with_toxicity, streaming_scrub); (b) ALL 9 entries whose
+    last driver verdict is r03 (VERDICT r05 item 5: langid,
+    langid_margin, exact_dedup, corpus_stats, streaming_scrub,
+    pii_coverage_ext, fb_profile_updates, tt_user_videos, media_scrub
+    — the last explicitly demanded into the window this round despite
+    being rows-only); (c) 29 r04-verified tail entries, oldest first.
+    After r06 lands, no entry's verdict is older than r04: the ten
+    r04-verified entries left below the boundary (jaccard_pairs,
+    dedup_clusters, dedup_keep_list, contamination, substring_dup,
+    chunk_text, quality_repetition, a2/a5/a6) are r04-green on
+    unchanged code, and the rest of the tail is r05-green."""
     return {
-        # -- (a) operator code touched / added in round 5 --
-        "c4_line_filter": q_c4_line_filter,
+        # -- (a) new / operator code touched in round 6 --
+        "corpus_build": q_corpus_build,      # NEW: composed e2e job
+        "paragraph_dedup": q_paragraph_dedup,  # NEW: "\n\n" granularity
         "line_dedup": q_line_dedup,
+        "media_bmp_scrub": q_media_bmp_scrub,
+        "media_scrub_hex": q_media_scrub_hex,
+        "host_reputation": q_host_reputation,
+        "host_filter": q_host_filter,
+        "langid": q_langid,
+        "langid_margin": q_langid_margin,
+        "full_quality_gate": q_full_quality_gate,
+        "keep_f1": q_keep_f1,
+        "flagship_pipeline": q_flagship_pipeline,
+        "flagship_from_html": q_flagship_from_html,
+        "flagship_with_toxicity": q_flagship_with_toxicity,
+        "streaming_scrub": q_streaming_scrub,
+        # -- (b) remaining entries whose last verdict is r03 --
+        "exact_dedup": q_exact_dedup,
+        "corpus_stats": q_corpus_stats,
+        "pii_coverage_ext": q_pii_coverage_ext,
+        "fb_profile_updates": q_fb_profile_updates,
+        "tt_user_videos": q_tt_user_videos,
+        "media_scrub": q_media_scrub,  # rows-only (no_oracle) by design
+        # -- (c) r04-verified tail entries re-earning fresh verdicts --
+        "kmeans_centroids": q_kmeans_centroids,
+        "media_features": q_media_features,
+        "dedup_keep_best": q_dedup_keep_best,
+        "token_budget_mix": q_token_budget_mix,
+        "zip_ingest": q_zip_ingest,
+        "ivf_trained_topk": q_ivf_trained_topk,
+        "incremental_dedup": q_incremental_dedup,
+        "dsir_weights": q_dsir_weights,
+        "dsir_topk": q_dsir_topk,
+        "ccnet_buckets": q_ccnet_buckets,
+        "semdedup_keep": q_semdedup_keep,
+        "nfc_normalize": q_nfc_normalize,
+        "clean_text_udf": q_clean_text_udf,
+        "ner_coverage": q_ner_coverage,
+        "pii_coverage": q_pii_coverage,
+        "scrub_bank": q_scrub_bank,
+        "simhash": q_simhash,
+        "tok_counts": q_tok_counts,
+        "fingerprint": q_fingerprint,
+        "rolling_fp": q_rolling_fp,
+        "a3_pivot_segments": q_a3_pivot_segments,
+        "a3_rollup": q_a3_rollup,
+        "a4_dynamic_pivot": q_a4_dynamic_pivot,
+        "u2_interleaved": q_u2_interleaved,
+        "p8_routing": q_p8_routing,
+        "s2_from_json": q_s2_from_json,
+        "s3_txt_kv": q_s3_txt_kv,
+        "minhash_signature": q_minhash_signature,
+        "lsh_pairs": q_lsh_pairs,
+        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
+        # everything below is r04/r05-driver-green on unchanged code:
+        # the ten remaining r04-verified entries (re-window next round)
+        # and the r05-verified entries rotated out to make room
+        "jaccard_pairs": q_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
+        "contamination": q_contamination,
+        "substring_dup": q_substring_dup,
+        "chunk_text": q_chunk_text,
+        "quality_repetition": q_quality_repetition,
+        "a2_groupby_count": q_a2_groupby_count,
+        "a5_category_extract": q_a5_category_extract,
+        "a6_distinct": q_a6_distinct,
+        "c4_line_filter": q_c4_line_filter,
         "web_preprocess": q_web_preprocess,
         "bpe_merges": q_bpe_merges,
         "quality_classifier": q_quality_classifier,
         "html_extract": q_html_extract,
-        "flagship_from_html": q_flagship_from_html,
-        "media_bmp_scrub": q_media_bmp_scrub,  # NEW: real numpy BMP kernel
-        "host_reputation": q_host_reputation,  # NEW: per-domain rollup
-        "host_filter": q_host_filter,          # NEW: reputation filter-back
-        # -- (b) all 21 entries whose last verdict is r02 --
         "explode_pos": q_explode_pos,
         "w1_photo_seq": q_w1_photo_seq,
         "p1_date_filter_events": q_p1_date_filter_events,
@@ -1720,10 +1875,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_img_ext": q_f10_img_ext,
         "f11_ph_num": q_f11_ph_num,
         "f12_json_path": q_f12_json_path,
-        # -- (c) last verified in r03, re-earning fresh verdicts --
         "ivf_topk": q_ivf_topk,
         "perplexity_udf": q_perplexity_udf,
-        "media_scrub_hex": q_media_scrub_hex,
         "ann_amp_topk": q_ann_amp_topk,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1740,65 +1893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_char_lm": q_train_char_lm,
         "quality_heuristics": q_quality_heuristics,
         "toxicity": q_toxicity,
-        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
-        # everything below is r03/r04-driver-green on unchanged code:
-        # r03 holdovers listed in the docstring (incl. exact_dedup/
-        # langid/langid_margin, displaced by the three new round-5
-        # entries), media_scrub (rows-only by design), and the
-        # r04-verified entries rotated out to make room for the r02
-        # tail + r03 re-verification
-        "langid": q_langid,
-        "langid_margin": q_langid_margin,
-        "exact_dedup": q_exact_dedup,
-        "corpus_stats": q_corpus_stats,
-        "streaming_scrub": q_streaming_scrub,
-        "pii_coverage_ext": q_pii_coverage_ext,
-        "fb_profile_updates": q_fb_profile_updates,
-        "tt_user_videos": q_tt_user_videos,
-        "media_scrub": q_media_scrub,  # rows-only by design; never windowed
-        "kmeans_centroids": q_kmeans_centroids,
-        "media_features": q_media_features,
-        "keep_f1": q_keep_f1,
-        "dedup_keep_best": q_dedup_keep_best,
-        "token_budget_mix": q_token_budget_mix,
-        "zip_ingest": q_zip_ingest,
-        "ivf_trained_topk": q_ivf_trained_topk,
-        "incremental_dedup": q_incremental_dedup,
-        "dsir_weights": q_dsir_weights,
-        "dsir_topk": q_dsir_topk,
-        "ccnet_buckets": q_ccnet_buckets,
-        "semdedup_keep": q_semdedup_keep,
-        "nfc_normalize": q_nfc_normalize,
-        "clean_text_udf": q_clean_text_udf,
-        "ner_coverage": q_ner_coverage,
-        "pii_coverage": q_pii_coverage,
-        "scrub_bank": q_scrub_bank,
-        "flagship_pipeline": q_flagship_pipeline,
-        "flagship_with_toxicity": q_flagship_with_toxicity,
-        "full_quality_gate": q_full_quality_gate,
-        "simhash": q_simhash,
-        "tok_counts": q_tok_counts,
-        "fingerprint": q_fingerprint,
-        "rolling_fp": q_rolling_fp,
-        "a3_pivot_segments": q_a3_pivot_segments,
-        "a3_rollup": q_a3_rollup,
-        "a4_dynamic_pivot": q_a4_dynamic_pivot,
-        "u2_interleaved": q_u2_interleaved,
-        "p8_routing": q_p8_routing,
-        "s2_from_json": q_s2_from_json,
-        "s3_txt_kv": q_s3_txt_kv,
-        "minhash_signature": q_minhash_signature,
-        "lsh_pairs": q_lsh_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_list": q_dedup_keep_list,
-        "contamination": q_contamination,
-        "substring_dup": q_substring_dup,
-        "chunk_text": q_chunk_text,
-        "quality_repetition": q_quality_repetition,
-        "a2_groupby_count": q_a2_groupby_count,
-        "a5_category_extract": q_a5_category_extract,
-        "a6_distinct": q_a6_distinct,
     }
 
 
@@ -2012,6 +2106,11 @@ def oracle_sql() -> dict[str, str]:
             f"(select doc_id, {_LINES_SQL} as lined from documents)",
             "lined", "doc_id",
         ),
+        "paragraph_dedup": LN.line_dedup_sql(
+            f"(select doc_id, {_PARAS_SQL} as para from documents)",
+            "para", "doc_id", sep_sql="(chr(10) || chr(10))",
+        ),
+        "corpus_build": _corpus_build_sql(),
         "c4_line_filter": (
             f"select doc_id, {LN.c4_line_filter_sql(f'({_LINES_SQL})')} "
             f"as text_c4 from documents"

@@ -2,32 +2,48 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "docs_per_sec": ..., "attempts": [...]}
+   "queries": {...}, "sf": ..., "docs_per_sec": ..., "attempts": [...],
+   "query_steal": {...}, "query_attempts": {...}}
 
 The headline metric is the flagship filter+scrub pipeline's wall time
 over a generated Common-Crawl-style corpus (BASELINE.json metric =
 docs/sec end-to-end filter+scrub throughput); the per-query map also
 times the major operator families at the testdata SF.
 
-STEAL-GATED PROTOCOL (VERDICT r04 item 1): this sandbox is a shared
-host with bursty CPU steal, and a single unlucky invocation used to
-erase a round of real perf work from the recorded artifact. The
-headline block (q1 best-of-3 + the q2 column-only host-speed control)
-now re-runs — with a sleep between attempts — until its measured
-steal_pct drops below STEAL_GATE_PCT or MAX_ATTEMPTS is exhausted.
-EVERY attempt is emitted in the JSON ("attempts"), the chosen one is
-flagged ("chosen_attempt"), and q2 — pure JVM, code stable across
-rounds — rides in each attempt as the in-artifact control: if q2 is
-slow in every attempt, the host never offered a fair window and the
-artifact itself proves it.
+STEAL-GATED PROTOCOL (VERDICT r04 item 1 + r05 items 1-2): this
+sandbox is a shared host with bursty CPU steal AND with degradation
+epochs that are invisible to steal% (65-80% sys-time page-fault
+storms — CLAUDE.md host quirks). Two defenses, both self-proving in
+the emitted artifact:
+
+- EVERY timed query runs inside its own _StealWindow and is retried
+  (up to BENCH_QUERY_MAX_ATTEMPTS, sleeping between tries) while its
+  window's steal%% exceeds the gate. The artifact records each
+  query's every attempt ("query_attempts") and the chosen attempt's
+  steal%% ("query_steal") — no recorded number is a single unlucky
+  shot anymore (r05's q8b recorded 37 s from a degraded window vs the
+  repo's own gated 5 s; that class of artifact entry is now
+  impossible without the artifact itself proving the host never
+  offered a fair window).
+- The headline block (q1 flagship best-of-3 + the q2 column-only
+  control) is additionally CONTROL-NORMALIZED: acceptance requires
+  both the attempt's steal%% under the gate AND its q2 within
+  BENCH_Q2_TOL (default 1.25x) of the best q2 observed in-process
+  (seeded by a gated warmup measurement). q2 is pure JVM and code-
+  stable across rounds, so a slow q2 at low steal is exactly the
+  sys-time degradation signature — such attempts now RETRY instead
+  of silently becoming the round's recorded throughput.
 
 Env knobs:
-  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS     cores for local[] master (default 32)
-  BENCH_WEB_ROWS       generated web-corpus size (default 1_000_000)
-  BENCH_STEAL_GATE     steal%% gate for the headline (default 2.0)
-  BENCH_MAX_ATTEMPTS   headline attempts (default 5)
-  BENCH_RETRY_SLEEP    seconds between gated attempts (default 30)
+  SPARK_GRAFT_SF_DIR        testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS          cores for local[] master (default 32)
+  BENCH_WEB_ROWS            generated web-corpus size (default 1_000_000)
+  BENCH_STEAL_GATE          steal%% gate (default 2.0)
+  BENCH_MAX_ATTEMPTS        headline attempts (default 5)
+  BENCH_RETRY_SLEEP         seconds between headline attempts (default 30)
+  BENCH_Q2_TOL              headline q2-control tolerance (default 1.25)
+  BENCH_QUERY_MAX_ATTEMPTS  per-query attempts (default 3)
+  BENCH_QUERY_RETRY_SLEEP   seconds between per-query attempts (default 15)
 """
 
 from __future__ import annotations
@@ -54,6 +70,9 @@ WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "1000000"))
 STEAL_GATE_PCT = float(os.environ.get("BENCH_STEAL_GATE", "2.0"))
 MAX_ATTEMPTS = int(os.environ.get("BENCH_MAX_ATTEMPTS", "5"))
 RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", "30"))
+Q2_TOL = float(os.environ.get("BENCH_Q2_TOL", "1.25"))
+QUERY_MAX_ATTEMPTS = int(os.environ.get("BENCH_QUERY_MAX_ATTEMPTS", "3"))
+QUERY_RETRY_SLEEP = float(os.environ.get("BENCH_QUERY_RETRY_SLEEP", "15"))
 CFG = ScrubConfig()
 
 
@@ -82,6 +101,39 @@ class _StealWindow:
         s1, j1 = _cpu_steal()
         self.pct = round(100.0 * (s1 - self.s0) / max(j1 - self.j0, 1), 2)
         return False
+
+
+timings: dict[str, float] = {}
+query_meta: dict[str, dict] = {}
+
+
+def timed(name: str, fn) -> None:
+    """Steal-gated per-query measurement (VERDICT r05 item 1): run fn
+    inside a _StealWindow; if the window's steal%% exceeds the gate,
+    sleep and retry (the query work is idempotent — counts/collects
+    over deterministic inputs). Record EVERY attempt; the chosen one
+    is the first under the gate, else the min-steal attempt."""
+    attempts: list[dict] = []
+    for k in range(QUERY_MAX_ATTEMPTS):
+        with _StealWindow() as w:
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+        attempts.append({"time": round(dt, 3), "steal_pct": w.pct})
+        if w.pct <= STEAL_GATE_PCT:
+            break
+        if k < QUERY_MAX_ATTEMPTS - 1:
+            time.sleep(QUERY_RETRY_SLEEP)
+    chosen = next(
+        (i for i, a in enumerate(attempts) if a["steal_pct"] <= STEAL_GATE_PCT),
+        min(range(len(attempts)), key=lambda i: attempts[i]["steal_pct"]),
+    )
+    timings[name] = attempts[chosen]["time"]
+    query_meta[name] = {
+        "attempts": attempts,
+        "chosen": chosen,
+        "steal_pct": attempts[chosen]["steal_pct"],
+    }
 
 
 def run_headline(pages, n_pages: int) -> dict:
@@ -113,8 +165,6 @@ def main() -> None:
         app_name="bench", master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
     )
-    t = lambda: time.time()
-    timings: dict[str, float] = {}
     steal0, jiff0 = _cpu_steal()
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -132,18 +182,40 @@ def main() -> None:
     pages = generate_webpages(spark, WEB_ROWS).cache()
     n_pages = _count(pages)
     filter_scrub_pipeline(pages.limit(2000), CFG, use_model_udfs=True).df.count()
+    # warmup q2 run: warms the column-only codegen path AND, when its
+    # own window is clean, seeds the q2 control baseline so attempt 1
+    # can't self-certify a degraded epoch (VERDICT r05 item 2)
+    with _StealWindow() as w_seed:
+        t0 = time.time()
+        _count(filter_scrub_pipeline(
+            pages, CFG, use_model_udfs=False).df.filter("keep"))
+        q2_seed = round(time.time() - t0, 3)
+    q2_best = q2_seed if w_seed.pct <= STEAL_GATE_PCT else None
+
     attempts: list[dict] = []
     for k in range(MAX_ATTEMPTS):
-        attempts.append(run_headline(pages, n_pages))
-        if attempts[-1]["steal_pct"] <= STEAL_GATE_PCT:
+        a = run_headline(pages, n_pages)
+        q2 = a["q2_pipeline_column_only"]
+        q2_best = q2 if q2_best is None else min(q2_best, q2)
+        a["q2_ratio_vs_best"] = round(q2 / q2_best, 3)
+        a["accepted"] = (a["steal_pct"] <= STEAL_GATE_PCT
+                         and q2 <= Q2_TOL * q2_best)
+        attempts.append(a)
+        if a["accepted"]:
             break
         if k < MAX_ATTEMPTS - 1:
             time.sleep(RETRY_SLEEP)
-    # choose: first attempt under the gate, else the min-steal attempt
-    chosen = next((i for i, a in enumerate(attempts)
-                   if a["steal_pct"] <= STEAL_GATE_PCT),
-                  min(range(len(attempts)),
-                      key=lambda i: attempts[i]["steal_pct"]))
+    # choose with the FINAL q2_best (an early attempt may be vindicated
+    # retroactively once a later attempt proves the host was degraded
+    # the whole time): first attempt passing both gates, else the one
+    # with the best (steal, q2) evidence.
+    ok = [i for i, a in enumerate(attempts)
+          if a["steal_pct"] <= STEAL_GATE_PCT
+          and a["q2_pipeline_column_only"] <= Q2_TOL * q2_best]
+    chosen = ok[0] if ok else min(
+        range(len(attempts)),
+        key=lambda i: (attempts[i]["steal_pct"],
+                       attempts[i]["q2_pipeline_column_only"]))
     head = attempts[chosen]
     timings["q1_filter_scrub_pipeline"] = head["q1_filter_scrub_pipeline"]
     timings["q2_pipeline_column_only"] = head["q2_pipeline_column_only"]
@@ -151,83 +223,72 @@ def main() -> None:
     # q9: html→text extraction at corpus scale (the crawl front door —
     # pure codegen regexp chain, no shuffle, no Python)
     from social_media_pii_scrubber_spark.functions.html import html_text_expr
-    t0 = t()
-    _count(pages.select(html_text_expr(F.col("html")).alias("et"))
-           .filter(F.length("et") > 0))
-    timings["q9_html_extract"] = t() - t0
+    timed("q9_html_extract", lambda: _count(
+        pages.select(html_text_expr(F.col("html")).alias("et"))
+        .filter(F.length("et") > 0)))
 
     # q9b: flagship in the crawl configuration — extraction as stage 0
     # over html:binary, then the full column-only filter+scrub
-    t0 = t()
-    _count(filter_scrub_pipeline(pages.drop("text"), CFG,
-                                 from_html=True).df.filter("keep"))
-    timings["q9b_flagship_from_html"] = t() - t0
+    timed("q9b_flagship_from_html", lambda: _count(
+        filter_scrub_pipeline(pages.drop("text"), CFG,
+                              from_html=True).df.filter("keep")))
 
     # q3: exact dedup at corpus scale
-    t0 = t()
-    _count(DD.exact_dedup_fast(pages, "text", "url"))
-    timings["q3_exact_dedup"] = t() - t0
+    timed("q3_exact_dedup", lambda: _count(
+        DD.exact_dedup_fast(pages, "text", "url")))
 
     # q4: minhash LSH candidate pairs over the testdata documents
-    t0 = t()
-    _count(DD.lsh_candidate_pairs(docs, "text", "doc_id"))
-    timings["q4_minhash_lsh"] = t() - t0
+    timed("q4_minhash_lsh", lambda: _count(
+        DD.lsh_candidate_pairs(docs, "text", "doc_id")))
 
     # q4b: PRODUCTION minhash profile — xxhash64, 128 hashes / 16 bands
     # (the config the recall test validates; no hex-string shuffles)
-    t0 = t()
-    _count(DD.lsh_candidate_pairs_fast(docs, "text", "doc_id"))
-    timings["q4b_minhash_lsh_wide"] = t() - t0
+    timed("q4b_minhash_lsh_wide", lambda: _count(
+        DD.lsh_candidate_pairs_fast(docs, "text", "doc_id")))
 
     # q4c: the full production near-dup chain (wide LSH → jaccard verify
     # → connected components → keep flags)
     from social_media_pii_scrubber_spark.operators.components import near_dup_dedup
-    t0 = t()
-    _count(near_dup_dedup(docs, "text", "doc_id").filter("keep_dedup"))
-    timings["q4c_near_dup_dedup_e2e"] = t() - t0
+    timed("q4c_near_dup_dedup_e2e", lambda: _count(
+        near_dup_dedup(docs, "text", "doc_id").filter("keep_dedup")))
 
     # q5: simhash signatures (md5 oracle profile)
-    t0 = t()
-    _count(DD.simhash_signature(docs, "text", "doc_id"))
-    timings["q5_simhash"] = t() - t0
+    timed("q5_simhash", lambda: _count(
+        DD.simhash_signature(docs, "text", "doc_id")))
 
     # q5b: production 64-bit simhash (xxhash64, one bigint signature)
-    t0 = t()
-    _count(DD.simhash_signature_fast(docs, "text", "doc_id"))
-    timings["q5b_simhash64"] = t() - t0
+    timed("q5b_simhash64", lambda: _count(
+        DD.simhash_signature_fast(docs, "text", "doc_id")))
 
     # q6: brute-force cosine top-k (10 queries x corpus)
-    t0 = t()
-    _count(SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=10))
-    timings["q6_cosine_topk"] = t() - t0
+    timed("q6_cosine_topk", lambda: _count(
+        SIM.cosine_topk(emb, emb.filter(F.col("vec_id") < 10),
+                        "vec_id", "embedding", k=10)))
 
     # q6b: OR-amplified embedding near-dup (numpy-matmul bucket UDF,
     # 4 tables x 256 buckets — the at-scale ANN/dedup path)
-    t0 = t()
-    _count(SIM.embedding_dup_pairs_amplified(
-        emb, "embedding", "vec_id", n_planes=8, n_tables=4, dim=64))
-    timings["q6b_embedding_lsh_amplified"] = t() - t0
+    timed("q6b_embedding_lsh_amplified", lambda: _count(
+        SIM.embedding_dup_pairs_amplified(
+            emb, "embedding", "vec_id", n_planes=8, n_tables=4, dim=64)))
 
     # q6c: IVF-Flat ANN, trained-shaped quantizer topology at probe=2/8
     # (cell assignment is codegen'd per-row argmax — no shuffle; the
     # probe join touches ~probe/n_cells of the corpus)
-    t0 = t()
-    _count(SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10),
-                        "vec_id", "embedding", k=10, n_cells=8, probe=2))
-    timings["q6c_ivf_topk_probe2"] = t() - t0
+    timed("q6c_ivf_topk_probe2", lambda: _count(
+        SIM.ivf_topk(emb, emb.filter(F.col("vec_id") < 10),
+                     "vec_id", "embedding", k=10, n_cells=8, probe=2)))
 
     # q6d: k-means quantizer training (2 Lloyd iterations, 8 cells) —
     # the model-fit cost amortized over every IVF query that follows
-    t0 = t()
-    SIM.kmeans_train(emb, "embedding", n_cells=8, dim=64, iters=2)
-    timings["q6d_kmeans_train"] = t() - t0
+    timed("q6d_kmeans_train", lambda: SIM.kmeans_train(
+        emb, "embedding", n_cells=8, dim=64, iters=2))
 
     # q8: line-level cleaning at corpus scale — C4 line filter (pure
     # codegen, no shuffle) then corpus-global line dedup (one
     # fingerprint-keyed line shuffle + per-doc reassembly) over the
     # 1M-page web corpus
     from social_media_pii_scrubber_spark.operators.lines import (
-        c4_line_filter_expr, line_dedup,
+        c4_line_filter_expr, line_dedup, paragraph_dedup,
     )
     # lined is cached: it feeds q8, q8b, q14 and q14b, and leaving the
     # regexp_replace lazy would re-run it map-side in all four — in
@@ -237,13 +298,22 @@ def main() -> None:
         "url", F.regexp_replace("text", r" the ", "\nthe ").alias("lined"),
     ).cache()
     _count(lined)
-    t0 = t()
-    _count(lined.select(c4_line_filter_expr(F.col("lined")).alias("c"))
-           .filter("c != ''"))
-    timings["q8_c4_line_filter"] = t() - t0
-    t0 = t()
-    _count(line_dedup(lined, "lined", "url"))
-    timings["q8b_line_dedup"] = t() - t0
+    timed("q8_c4_line_filter", lambda: _count(
+        lined.select(c4_line_filter_expr(F.col("lined")).alias("c"))
+        .filter("c != ''")))
+    timed("q8b_line_dedup", lambda: _count(line_dedup(lined, "lined", "url")))
+
+    # q8c: RefinedWeb-style corpus-global PARAGRAPH dedup (same reused-
+    # exchange plan as q8b at "\n\n" granularity). The paragraph-marked
+    # corpus is cached untimed, like lined, so the timing is the dedup
+    # itself, comparable with q8b.
+    paras = pages.select(
+        "url", F.regexp_replace("text", r" and ", "\n\nand ").alias("para"),
+    ).cache()
+    _count(paras)
+    timed("q8c_paragraph_dedup", lambda: _count(
+        paragraph_dedup(paras, "para", "url")))
+    paras.unpersist()
 
     # q10: DSIR importance weights over the 1M-page web corpus at the
     # production bucket width (65536 xxhash64 buckets). The source
@@ -254,15 +324,16 @@ def main() -> None:
     # instead of 2.1; ratio dimension force-broadcast (bounded by
     # construction), per-doc sum partial-agg'd
     from social_media_pii_scrubber_spark.operators import dsir as DSR
-    t0 = t()
-    tgt = pages.filter(F.pmod(F.xxhash64("url"), F.lit(100)) < 1)
-    src_fit = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) < 1)
-    ratio = DSR.log_ratio(
-        DSR.bucket_distribution_fast(tgt, "text"),
-        DSR.bucket_distribution_fast(src_fit, "text"),
-    )
-    _count(DSR.dsir_weights_fast(pages, "text", "url", ratio))
-    timings["q10_dsir_weights"] = t() - t0
+
+    def _q10():
+        tgt = pages.filter(F.pmod(F.xxhash64("url"), F.lit(100)) < 1)
+        src_fit = pages.filter(F.pmod(F.xxhash64("url"), F.lit(10)) < 1)
+        ratio = DSR.log_ratio(
+            DSR.bucket_distribution_fast(tgt, "text"),
+            DSR.bucket_distribution_fast(src_fit, "text"),
+        )
+        _count(DSR.dsir_weights_fast(pages, "text", "url", ratio))
+    timed("q10_dsir_weights", _q10)
 
     # q11: supervised quality-classifier inference over the 1M-page
     # corpus at the production width (65536 xxhash64 buckets, weights
@@ -270,29 +341,26 @@ def main() -> None:
     # force-broadcast weight join + partial-agg'd logit sum — DSIR's
     # scoring topology with a model dimension instead of a ratio
     from social_media_pii_scrubber_spark.operators import classifier as CLF
-    t0 = t()
     wmap = {b: ((b * 2654435761) % 1000) / 1000.0 - 0.5
             for b in range(4096)}
-    _count(CLF.score_with_model(pages, "text", "url", (wmap, -0.1),
-                                n_buckets=4096))
-    timings["q11_classifier_score"] = t() - t0
+    timed("q11_classifier_score", lambda: _count(
+        CLF.score_with_model(pages, "text", "url", (wmap, -0.1),
+                             n_buckets=4096)))
 
     # q12: SemDeDup over the embeddings table (coarse cells → within-
     # cell exact cosine → components keep flags)
-    t0 = t()
-    _count(SIM.semdedup_keep(emb, "embedding", "vec_id",
-                             SIM.make_centroids(8, 64), threshold=0.95)
-           .filter("keep_dedup"))
-    timings["q12_semdedup"] = t() - t0
+    timed("q12_semdedup", lambda: _count(
+        SIM.semdedup_keep(emb, "embedding", "vec_id",
+                          SIM.make_centroids(8, 64), threshold=0.95)
+        .filter("keep_dedup")))
 
     # q13: BPE tokenizer training, 64 merges — one corpus-collapse pass
     # to the weighted type vocab, then the driver-side incremental merge
     # loop (one Spark job total; was one job per merge)
     from social_media_pii_scrubber_spark.operators.bpe import train_bpe
-    t0 = t()
-    n_merges = len(train_bpe(docs, "text", 64))
-    timings["q13_bpe_train64"] = t() - t0
-    assert n_merges == 64, n_merges
+    timed("q13_bpe_train64", lambda: (
+        len(train_bpe(docs, "text", 64)) == 64
+        or (_ for _ in ()).throw(AssertionError("bpe merges != 64"))))
 
     # q14: skewed-host repartition, salted vs naive — host0 carries
     # ~30% of the 1M generated pages (the north-star skew case). Both
@@ -305,26 +373,55 @@ def main() -> None:
         repartition_by_url, url_host_expr,
     )
     skew_work = F.sum(F.length(c4_line_filter_expr(F.col("lined")))).alias("s")
-    t0 = t()
-    lined.repartition(64, url_host_expr(F.col("url"))).select(skew_work).collect()
-    timings["q14_skew_repart_unsalted"] = t() - t0
-    t0 = t()
-    repartition_by_url(lined, "url", n_partitions=64, n_salts=16
-                       ).select(skew_work).collect()
-    timings["q14b_skew_repart_salted"] = t() - t0
+    timed("q14_skew_repart_unsalted", lambda: lined.repartition(
+        64, url_host_expr(F.col("url"))).select(skew_work).collect())
+    timed("q14b_skew_repart_salted", lambda: repartition_by_url(
+        lined, "url", n_partitions=64, n_salts=16).select(skew_work).collect())
     lined.unpersist()
 
+    # q15: host/domain reputation rollup + filter-back over the 1M-page
+    # corpus (one partial-agg'd groupBy(host) — host0 is the 30% hot
+    # key, exercising the skewed partial-agg — then a plain left_anti
+    # filter-back that AQE sizes; never hint-broadcast)
+    from social_media_pii_scrubber_spark.operators import hosts as HST
+
+    def _q15():
+        stats = HST.host_stats(pages, "url", "text")
+        _count(HST.host_reputation_filter(pages, stats, "url"))
+    timed("q15_host_reputation_filter", _q15)
+
+    # q16: the composed end-to-end corpus-build job (url canonicalize →
+    # line dedup → exact dedup → near-dup dedup → host filter →
+    # quality+toxicity gate → classifier selection → token-budget mix →
+    # pack → scrub; jobs/build_corpus.py) — the integration artifact,
+    # one number for the whole production-profile chain over a
+    # hash-sampled 100k-page slice (the near-dup stage is the
+    # quadratic-risk component; its cost is bounded by the exact-dedup
+    # collapse, see the module doc)
+    from jobs.build_corpus import build_corpus
+    bc_rows = int(os.environ.get("BENCH_CORPUS_BUILD_ROWS", "100000"))
+    mod = max(round(n_pages / bc_rows), 1)
+    bpages = pages.filter(F.pmod(F.xxhash64("url"), F.lit(mod)) < 1) \
+        .withColumn("page_id",
+                    F.regexp_extract("url", "/p/([0-9]+)$", 1).cast("bigint"))
+    timed("q16_build_corpus_e2e", lambda: _count(build_corpus(
+        bpages, id_col="page_id",
+        classifier_model=(wmap, -0.1), classifier_buckets=4096,
+        budgets={"en": 2_000_000, "de": 600_000,
+                 "fr": 600_000, "es": 600_000})))
+
     # q7: relational mix — join + agg + window over tpch-ish tables
-    t0 = t()
-    j = (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("c_mktsegment")
-        .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
-    )
-    _count(j)
-    li = lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
-    _count(li)
-    timings["q7_relational_mix"] = t() - t0
+    def _q7():
+        j = (
+            orders.join(F.broadcast(customer),
+                        orders.o_custkey == customer.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+        )
+        _count(j)
+        li = lineitem.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+        _count(li)
+    timed("q7_relational_mix", _q7)
 
     pages.unpersist()
     steal1, jiff1 = _cpu_steal()
@@ -346,6 +443,12 @@ def main() -> None:
         "attempts": attempts,
         "chosen_attempt": chosen,
         "headline_steal_pct": head["steal_pct"],
+        "q2_control_seed": {"time": q2_seed, "steal_pct": w_seed.pct},
+        "q2_best": q2_best,
+        "q2_tolerance": Q2_TOL,
+        "query_steal": {k: m["steal_pct"] for k, m in query_meta.items()},
+        "query_attempts": {k: m["attempts"] for k, m in query_meta.items()
+                           if len(m["attempts"]) > 1},
     }))
     spark.stop()
 

@@ -46,7 +46,7 @@ FIXTURE_DIR = os.path.join(
 # BMP kernel (operators/media.py round 5) and the media_bmp fixture
 # family exists — any fixture generated against pre-dispatch or
 # mid-iteration kernel code must be invalidated.
-FIXTURE_SEMANTICS_VERSION = 6
+FIXTURE_SEMANTICS_VERSION = 7  # r06: detector-shaped BMP blur box
 
 
 def _source_key(sf_dir: str, table: str = "documents.parquet") -> str:
@@ -136,14 +136,45 @@ def ensure_media_scrub_fixture(sf_dir: str) -> str:
     return path
 
 
+def _detect_box_python(arr) -> tuple[int, int, int, int]:
+    """Independent naive replication of _BmpKernel.detect_region: pure-
+    Python loops over Python ints (no numpy vectorization, no integral
+    image) — max-edge-energy (h//2)×(w//2) window, first in row-major
+    order on ties. All-integer, so agreement with the kernel's
+    cumsum/argmax form is exact by construction."""
+    h, w = arr.shape[:2]
+    gray = [[int(arr[y][x][0]) + int(arr[y][x][1]) + int(arr[y][x][2])
+             for x in range(w)] for y in range(h)]
+    e = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            v = 0
+            if x + 1 < w:
+                v += abs(gray[y][x + 1] - gray[y][x])
+            if y + 1 < h:
+                v += abs(gray[y + 1][x] - gray[y][x])
+            e[y][x] = v
+    bh, bw = max(h // 2, 1), max(w // 2, 1)
+    best, by, bx = -1, 0, 0
+    for y0 in range(h - bh + 1):
+        for x0 in range(w - bw + 1):
+            s = sum(e[y][x]
+                    for y in range(y0, y0 + bh) for x in range(x0, x0 + bw))
+            if s > best:
+                best, by, bx = s, y0, x0
+    return by, by + bh, bx, bx + bw
+
+
 def _bmp_scrub_python(blob: bytes, k: int) -> tuple[str, int, int]:
     """Independent replication of the BMP scrub: own header parse +
-    naive O(k²) edge-clamped box blur in float64 + own re-encode —
-    shares NO code with operators/media._BmpKernel (whose blur is
-    separable float32). Exact agreement is guaranteed, not hoped for:
-    blur values are rationals n/k² whose distance to any .5 rounding
-    boundary is ≥ 1/(2k²) ≈ 0.0102 at k=7, while the separable-float32
-    error is ~1e-4 — rint() lands identically in both."""
+    naive box detection (_detect_box_python) + naive O(k²) edge-clamped
+    box blur in float64 + own re-encode — shares NO code with
+    operators/media._BmpKernel (whose blur is separable float32 over an
+    integral-image argmax box). Exact agreement is guaranteed, not
+    hoped for: the detector is all-integer with identical first-max
+    tie-breaking, and blur values are rationals n/k² whose distance to
+    any .5 rounding boundary is ≥ 1/(2k²) ≈ 0.0102 at k=7, while the
+    separable-float32 error is ~1e-4 — rint() lands identically."""
     import numpy as np
 
     off = int.from_bytes(blob[10:14], "little")
@@ -157,7 +188,7 @@ def _bmp_scrub_python(blob: bytes, k: int) -> tuple[str, int, int]:
     if bottom_up:
         arr = arr[::-1]
     arr = arr.copy()
-    y0, y1, x0, x1 = height // 4, 3 * height // 4, w // 4, 3 * w // 4
+    y0, y1, x0, x1 = _detect_box_python(arr)
     sub = arr[y0:y1, x0:x1]
     if sub.size:
         hh, ww = sub.shape[:2]

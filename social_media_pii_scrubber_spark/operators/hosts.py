@@ -39,6 +39,15 @@ MIN_KEEP_FRAC = 0.25   # host must keep ≥ this fraction of its pages
 MAX_DUP_FRAC = 0.5     # ... and duplicate at most this fraction
 
 
+# HOST_RE is interpolated into a single-quoted SQL literal below; a
+# future edit adding a quote or backslash escape to the shared constant
+# would silently change the DuckDB twin while Spark keeps working
+# (ADVICE r05). Fail at import time instead.
+assert "'" not in HOST_RE and "\\" not in HOST_RE, (
+    "HOST_RE must stay quote- and backslash-free: url_host_sql embeds it "
+    "in a single-quoted DuckDB string literal without escaping")
+
+
 def url_host_sql(url: str) -> str:
     """DuckDB twin of plans.partitioning.url_host_expr."""
     return f"regexp_extract({url}, '{HOST_RE}', 1)"

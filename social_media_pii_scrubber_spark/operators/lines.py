@@ -39,6 +39,8 @@ pages: reuse topology ≤ the naive two-exchange plan warm (2.2 s vs
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -101,9 +103,11 @@ def line_dedup(docs: DataFrame, text_col: str, id_col: str,
 
     ``sep`` sets the dedup granularity: the default "\\n" is C4's
     line-level rule; "\\n\\n" is RefinedWeb-style PARAGRAPH dedup —
-    same operator, same plan shape, coarser spans. (The separator is
-    passed to Spark's regex split and DuckDB's plain split — stick to
-    regex-neutral separators like newlines.)
+    same operator, same plan shape, coarser spans. ``sep`` is a
+    LITERAL everywhere: it is regex-escaped before Spark's
+    ``F.split`` so a regex-meta separator ('|', '.') splits on the
+    literal character, matching both ``array_join`` on the rejoin
+    side and DuckDB's plain ``split`` in the twin (ADVICE r05).
     """
     i = F.col(id_col)
     # ONE exchange keyed on the 128-bit line fingerprint (_h1,_h2),
@@ -121,7 +125,7 @@ def line_dedup(docs: DataFrame, text_col: str, id_col: str,
     # line text (VERDICT r04 item 2).
     lines = docs.select(
         i.alias("_id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_ln"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("_pos", "_ln"),
     ).select(
         "_id", "_pos", "_ln",
         F.xxhash64("_ln").alias("_h1"),

@@ -27,7 +27,7 @@ def test_bench_emits_contract_json():
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=420, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
@@ -36,7 +36,8 @@ def test_bench_emits_contract_json():
     for key in ("metric", "value", "unit", "queries", "sf", "web_rows",
                 "kept_rows", "docs_per_sec", "cpus", "steal_pct",
                 "steal_gate_pct", "attempts", "chosen_attempt",
-                "headline_steal_pct"):
+                "headline_steal_pct", "q2_control_seed", "q2_best",
+                "q2_tolerance", "query_steal", "query_attempts"):
         assert key in out, key
     assert out["unit"] == "sec" and out["web_rows"] == 3000
     assert len(out["attempts"]) >= 1
@@ -49,3 +50,9 @@ def test_bench_emits_contract_json():
     # every suite query ran and timed positive
     assert len(out["queries"]) >= 20
     assert all(v >= 0 for v in out["queries"].values())
+    # VERDICT r05 item 1: every non-headline recorded timing carries its
+    # own steal window in the artifact — no unprovable single-shots
+    headline = {"q1_filter_scrub_pipeline", "q2_pipeline_column_only"}
+    assert set(out["query_steal"]) == set(out["queries"]) - headline
+    for a in out["attempts"]:
+        assert "q2_ratio_vs_best" in a and "accepted" in a

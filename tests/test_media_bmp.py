@@ -81,21 +81,34 @@ class TestDecodeEncode:
 
 
 class TestBlur:
-    def test_center_blur_matches_naive_reference_corners_untouched(self):
+    def test_detected_blur_matches_naive_reference_outside_untouched(self):
         src = pattern(24, 21, seed=9)
         blob = make_bmp(src)
         out = _BmpKernel.scrub(blob)
         got, meta = _BmpKernel.decode(out)
-        h, w = 24, 21
-        y0, y1, x0, x1 = h // 4, 3 * h // 4, w // 4, 3 * w // 4
+        y0, y1, x0, x1 = _BmpKernel.detect_region(src)
+        assert (y1 - y0, x1 - x0) == (12, 10)  # (h//2, w//2) window
         want = src.copy()
         want[y0:y1, x0:x1] = naive_box_blur(src[y0:y1, x0:x1], _BmpKernel.K)
         assert np.array_equal(got, want)
-        # outside the box: byte-identical to the input
-        assert np.array_equal(got[:y0], src[:y0])
-        assert np.array_equal(got[:, :x0], src[:, :x0])
+        # outside the detected box: byte-identical to the input
+        mask = np.ones(src.shape[:2], bool)
+        mask[y0:y1, x0:x1] = False
+        assert np.array_equal(got[mask], src[mask])
         # inside: actually changed (random pattern can't survive a 7x7 mean)
         assert not np.array_equal(got[y0:y1, x0:x1], src[y0:y1, x0:x1])
+
+    def test_detect_region_is_edge_energy_argmax(self):
+        # a single high-contrast block in the bottom-right quadrant must
+        # pull the proposal onto itself; a flat image ties everywhere and
+        # the FIRST row-major window wins (the documented tie-break)
+        src = np.full((20, 20, 3), 10, np.uint8)
+        src[14:19, 13:19] = 250
+        y0, y1, x0, x1 = _BmpKernel.detect_region(src)
+        assert y0 >= 8 and x0 >= 7  # window covers the contrast block
+        assert (y1 - y0, x1 - x0) == (10, 10)
+        assert _BmpKernel.detect_region(
+            np.full((16, 12, 3), 40, np.uint8)) == (0, 8, 0, 6)
 
     def test_output_is_valid_bmp_same_dims(self):
         blob = make_bmp(pattern(10, 10))
@@ -162,7 +175,7 @@ class TestDispatchAndSpark:
         [r] = scrub_media(df).collect()
         assert r.status == "ok" and (r.width, r.height) == (17, 20)
         got, _ = _BmpKernel.decode(bytes(r.scrubbed_bytes))
-        y0, y1, x0, x1 = 5, 15, 4, 12
+        y0, y1, x0, x1 = _BmpKernel.detect_region(src)
         want = src.copy()
         want[y0:y1, x0:x1] = naive_box_blur(src[y0:y1, x0:x1], _BmpKernel.K)
         assert np.array_equal(got, want)

@@ -287,32 +287,34 @@ class TestDriverContract:
         o = set(E.oracle_sql())
         rows_only = q - o
         # media_scrub is the ONLY deliberate no-oracle entry (raw binary
-        # kernel; value coverage lives in media_scrub_hex) and it must
-        # stay OUT of the 50-entry window
+        # kernel; value coverage lives in media_scrub_hex). It sits
+        # INSIDE the window for r06 — VERDICT r05 item 5 explicitly
+        # demanded every last-verdict-r03 entry back in, media_scrub
+        # included despite being rows-only — and rotates back out once
+        # its verdict refreshes.
         assert rows_only == {"media_scrub"}, rows_only
-        assert list(E.queries()).index("media_scrub") >= 50
+        assert list(E.queries()).index("media_scrub") < 50
         assert not (o - q), f"orphan oracles: {o - q}"
 
     def test_windowed_entries_cover_every_touched_module(self):
         """Rotation sanity: the first-50 window must include the
         round's changed-code entries (they are the ones whose verdicts
-        CORRECTNESS_r05 needs fresh) and the whole re-verification
-        backlog — every entry whose last driver verdict is r02."""
+        CORRECTNESS_r06 needs fresh) and the whole re-verification
+        backlog — every entry whose last driver verdict is r03
+        (VERDICT r05 item 5)."""
         import __spark_entry__ as E
 
         window = list(E.queries())[:50]
         for must in (
-                # operator code touched / added in round 5
-                "c4_line_filter", "line_dedup", "web_preprocess",
-                "bpe_merges", "quality_classifier",
-                "html_extract", "flagship_from_html", "media_bmp_scrub",
+                # new in round 6 / operator code touched in round 6
+                "corpus_build", "paragraph_dedup", "line_dedup",
+                "media_bmp_scrub", "media_scrub_hex",
                 "host_reputation", "host_filter",
-                # the full last-verdict-r02 backlog (VERDICT r04 item 7)
-                "explode_pos", "w1_photo_seq", "p1_date_filter_events",
-                "p2_orders_window", "p4_nonblank_documents", "p6_anti_join",
-                "j1_semi_flag", "j4_zip_longest", "a1_global_counts",
-                "w2_week_bins", "w3_sort_limit", "u1_union",
-                "f4_parse_when", "f5_time_string", "f6_date_arith",
-                "f7_split_kv", "f8_string_agg", "f9_contains",
-                "f10_img_ext", "f11_ph_num", "f12_json_path"):
+                # langid one-pass rewrite + every langid-consuming plan
+                "langid", "langid_margin", "full_quality_gate",
+                "keep_f1", "flagship_pipeline", "flagship_from_html",
+                "flagship_with_toxicity", "streaming_scrub",
+                # the full last-verdict-r03 backlog (VERDICT r05 item 5)
+                "exact_dedup", "corpus_stats", "pii_coverage_ext",
+                "fb_profile_updates", "tt_user_videos", "media_scrub"):
             assert must in window, must

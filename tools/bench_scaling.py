@@ -10,10 +10,17 @@ Each level runs in its own subprocess → fresh JVM, no warm-cache bias
 toward the second run; the corpus is written once beforehand so both
 levels read identical bytes.
 
-Usage: python tools/bench_scaling.py [rows] [N] [4N]
+Usage: python tools/bench_scaling.py [rows] [N] [4N] [job]
 (default pair 8/32; pass e.g. `2 8` for the N=2 vs 4N=8 pair — useful
 because this shared host cannot scale ANY workload 8→32 at much above
 ~0.75 efficiency, see BENCH.md)
+
+``job`` picks the measured plan (VERDICT r05 item 8 — the flagship is
+scan+UDF bound, so the N→4N claim also needs a shuffle-dominated
+witness):
+- ``flagship`` (default): full filter+scrub pipeline;
+- ``line_dedup``: corpus-global line dedup (q8b's plan — one reused
+  fingerprint-keyed exchange + per-doc reassembly shuffle).
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ from social_media_pii_scrubber_spark.plans.pipeline import filter_scrub_pipeline
 from social_media_pii_scrubber_spark.config import ScrubConfig
 
 cores = int(sys.argv[1]); src = sys.argv[2]
+job = sys.argv[3] if len(sys.argv) > 3 else "flagship"
 # split sizing: the corpus is ~3 MB/file; the default 128 MB split +
 # 4 MB open-cost would coalesce the whole scan into ~5 input splits and
 # cap parallelism below even 8 cores. 4 MB splits -> ~1 split per file,
@@ -46,8 +54,20 @@ spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   }})
 pages = spark.read.parquet(src)
 n = pages.count()  # warm scan metadata; not part of the timed job
-# warm Python UDF workers (fork+import is a one-time cluster cost)
-filter_scrub_pipeline(pages.limit(2000), ScrubConfig(), use_model_udfs=True).df.count()
+if job == "flagship":
+    # warm Python UDF workers (fork+import is a one-time cluster cost)
+    filter_scrub_pipeline(pages.limit(2000), ScrubConfig(), use_model_udfs=True).df.count()
+    def run_job():
+        out = filter_scrub_pipeline(pages, ScrubConfig(), use_model_udfs=True).df
+        return out.filter("keep").count()
+else:
+    from pyspark.sql import functions as F
+    from social_media_pii_scrubber_spark.operators.lines import line_dedup
+    lined = pages.select(
+        "url", F.regexp_replace("text", r" the ", chr(10) + "the ").alias("lined"))
+    line_dedup(lined.limit(2000), "lined", "url").count()  # warm codegen
+    def run_job():
+        return line_dedup(lined, "lined", "url").count()
 # 3 trials, report the min: the sandbox host shows heavy CPU steal
 # (~46% historical), so single-shot wall clock is throttle-noise;
 # best-of-N approximates the unthrottled steady state at each level.
@@ -65,15 +85,14 @@ best, kept, trials = None, None, []
 for _ in range(3):
     s0, j0 = _steal()
     t0 = time.time()
-    out = filter_scrub_pipeline(pages, ScrubConfig(), use_model_udfs=True).df
-    kept = out.filter("keep").count()
+    kept = run_job()
     dt = time.time() - t0
     s1, j1 = _steal()
     trials.append({{"sec": round(dt, 3),
                     "steal_pct": round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2)}})
     print(json.dumps({{"cores": cores, "trial": trials[-1]}}), file=sys.stderr)
     best = dt if best is None or dt < best else best
-print(json.dumps({{"cores": cores, "rows": n, "kept": kept,
+print(json.dumps({{"cores": cores, "rows": n, "kept": kept, "job": job,
                    "sec": round(best, 3), "docs_per_sec": round(n / best, 1),
                    "trials": trials}}))
 spark.stop()
@@ -84,7 +103,9 @@ def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    job = sys.argv[4] if len(sys.argv) > 4 else "flagship"
     assert hi == 4 * lo, "pair must be N and 4N"
+    assert job in ("flagship", "line_dedup"), f"unknown job {job!r}"
     # SCALING_CORPUS_DIR reuses an existing generated corpus (retrying
     # a steal-hit run shouldn't pay the generation pass again); the
     # row count must match or the corpus is regenerated in place.
@@ -110,9 +131,10 @@ def main() -> None:
     results = {}
     env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # same heap both legs
     for cores in (lo, hi):
-        print(f"running flagship pipeline at local[{cores}]...", file=sys.stderr)
+        print(f"running {job} at local[{cores}]...", file=sys.stderr)
         proc = subprocess.run(
-            [sys.executable, "-c", RUNNER.format(repo=REPO), str(cores), src],
+            [sys.executable, "-c", RUNNER.format(repo=REPO),
+             str(cores), src, job],
             check=True, capture_output=True, text=True, env=env,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
@@ -124,6 +146,7 @@ def main() -> None:
     efficiency = (thi / tlo) / 4
     print(json.dumps({
         "rows": rows,
+        "job": job,
         f"local{lo}_docs_per_sec": tlo,
         f"local{lo}_sec": results[lo]["sec"],
         f"local{lo}_trials": results[lo]["trials"],
