@@ -828,6 +828,34 @@ def q_incremental_dedup(spark, sf):
     )
 
 
+def q_bloom_incremental_dedup(spark, sf):
+    """Bloom-accelerated variant of the SAME cross-snapshot dedup
+    (operators/bloom.py): a construction-bounded bitmap built from the
+    previous snapshot pre-filters the new snapshot so the exact
+    left_anti sees only bloom-positive rows (true dups + fpp·|new|).
+    No false negatives → output is row-for-row the plain anti-join,
+    and the oracle is literally the same NOT-EXISTS SQL as
+    ``incremental_dedup`` — the driver value-hash proves the
+    accelerated path changes nothing."""
+    _pin_session(spark)
+    from social_media_pii_scrubber_spark.operators.bloom import (
+        bloom_incremental_dedup,
+    )
+    d = _t(spark, sf, "documents")
+    i = F.col("doc_id")
+    prev = d.filter(i % 3 != 0).select(
+        F.when(i % 9 == 1, F.lit(_BOILER)).otherwise(F.col("text")).alias("t"))
+    new = d.filter(i % 3 == 0).select(
+        "doc_id",
+        F.when(i % 9 == 0, F.lit(_BOILER)).otherwise(F.col("text")).alias("t"))
+    prev_fp = prev.select(T.fingerprint_expr(F.col("t")).alias("fp"))
+    new_fp = new.withColumn("fp", T.fingerprint_expr(F.col("t")))
+    return (
+        bloom_incremental_dedup(new_fp, prev_fp, "fp")
+        .select("doc_id", "fp")
+    )
+
+
 def _incremental_dedup_sql() -> str:
     fp = T.fingerprint_sql("t")
     prev = (f"select case when doc_id % 9 = 1 then '{_BOILER}' else text end"
@@ -1784,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (a) new / operator code touched in round 6 --
         "corpus_build": q_corpus_build,      # NEW: composed e2e job
+        "bloom_incremental_dedup": q_bloom_incremental_dedup,  # NEW
         "paragraph_dedup": q_paragraph_dedup,  # NEW: "\n\n" granularity
         "line_dedup": q_line_dedup,
         "media_bmp_scrub": q_media_bmp_scrub,
@@ -1834,11 +1863,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
         "minhash_signature": q_minhash_signature,
-        "lsh_pairs": q_lsh_pairs,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r04/r05-driver-green on unchanged code:
-        # the ten remaining r04-verified entries (re-window next round)
-        # and the r05-verified entries rotated out to make room
+        # the r04-verified entries (re-window next round; lsh_pairs
+        # displaced by the new bloom_incremental_dedup entry) and the
+        # r05-verified entries rotated out to make room
+        "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
@@ -2025,6 +2055,9 @@ def oracle_sql() -> dict[str, str]:
         "web_preprocess": _web_preprocess_sql(),
         "substring_dup": _substring_dup_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
+        # same SQL on purpose: the bloom pre-filter must not change the
+        # answer, and the shared oracle is the proof
+        "bloom_incremental_dedup": _incremental_dedup_sql(),
         "ivf_topk": SIM.ivf_topk_sql(
             "embeddings", "vec_id < 3", "vec_id", "embedding",
             k=5, n_cells=8, probe=2,

@@ -307,7 +307,8 @@ class TestDriverContract:
         window = list(E.queries())[:50]
         for must in (
                 # new in round 6 / operator code touched in round 6
-                "corpus_build", "paragraph_dedup", "line_dedup",
+                "corpus_build", "bloom_incremental_dedup",
+                "paragraph_dedup", "line_dedup",
                 "media_bmp_scrub", "media_scrub_hex",
                 "host_reputation", "host_filter",
                 # langid one-pass rewrite + every langid-consuming plan

@@ -68,9 +68,15 @@ else:
     line_dedup(lined.limit(2000), "lined", "url").count()  # warm codegen
     def run_job():
         return line_dedup(lined, "lined", "url").count()
-# 3 trials, report the min: the sandbox host shows heavy CPU steal
-# (~46% historical), so single-shot wall clock is throttle-noise;
+# SCALING_TRIALS trials (default 3), report the min: the sandbox host
+# shows heavy CPU steal (~46% historical) AND a per-process delivered-
+# compute ramp (trial sequences like 90->39->33 s at ~0%% steal on the
+# low-core leg), so single-shot wall clock is throttle-noise;
 # best-of-N approximates the unthrottled steady state at each level.
+# The low-core leg converges SLOWER (the ramp is amortized over fewer
+# parallel tasks), so raise SCALING_TRIALS until its trial list
+# plateaus — an unconverged low leg inflates efficiency past 1.0,
+# which the emitted trial list makes visible rather than hiding.
 # Each trial carries its own /proc/stat steal window so the emitted
 # artifact proves (or disproves) comparable host conditions across the
 # two legs — a leg measured through a degraded epoch is visible in its
@@ -82,7 +88,7 @@ def _steal():
     except OSError:
         return 0, 0
 best, kept, trials = None, None, []
-for _ in range(3):
+for _ in range(int(os.environ.get("SCALING_TRIALS", "3"))):
     s0, j0 = _steal()
     t0 = time.time()
     kept = run_job()
