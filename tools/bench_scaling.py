@@ -46,12 +46,29 @@ job = sys.argv[3] if len(sys.argv) > 3 else "flagship"
 # 4 MB open-cost would coalesce the whole scan into ~5 input splits and
 # cap parallelism below even 8 cores. 4 MB splits -> ~1 split per file,
 # several task waves per core at both levels (fair scaling comparison).
+extra = {{
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "1m",
+}}
+# SCALING_LOCAL_DIR points shuffle spill at another device (e.g. a
+# tmpfs under /dev/shm) to separate CPU scaling from shuffle-disk
+# saturation — on this sandbox the default /tmp device stops scaling
+# before the cores do for shuffle-heavy jobs.
+if os.environ.get("SCALING_LOCAL_DIR"):
+    extra["spark.local.dir"] = os.environ["SCALING_LOCAL_DIR"]
+# Shuffle layout: a real two-cluster-size comparison holds the DATA
+# layout fixed and varies only the executor count — AQE sizes reduce
+# partitions to the bytes, not the cores, so the same input produces
+# the same shuffle partitioning on both clusters. Coupling partitions
+# to cores (the old default) gives the 2-core leg two giant reduce
+# partitions (hash tables + spill pressure the 8-core leg never sees)
+# and is a harness artifact, not a scaling property of the plan.
+# SCALING_SHUFFLE_PARTITIONS overrides; default stays data-sized (32,
+# matching bench.py's production layout for this corpus).
+shuf = int(os.environ.get("SCALING_SHUFFLE_PARTITIONS", "32"))
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=cores,
-                  extra_conf={{
-                      "spark.sql.files.maxPartitionBytes": "4m",
-                      "spark.sql.files.openCostInBytes": "1m",
-                  }})
+                  shuffle_partitions=shuf,
+                  extra_conf=extra)
 pages = spark.read.parquet(src)
 n = pages.count()  # warm scan metadata; not part of the timed job
 if job == "flagship":
@@ -135,7 +152,13 @@ def main() -> None:
         print(f"reusing corpus at {src}", file=sys.stderr)
 
     results = {}
-    env = dict(os.environ, SPARK_DRIVER_MEMORY="48g")  # same heap both legs
+    # Same heap both legs. SCALING_HEAP sizes it to the JOB: the heap
+    # is pre-touched, and in a degraded host epoch the pre-touch
+    # itself runs the slow serialized-mmap path (48g measured at 7+
+    # minutes of 20-core spin) — a scan+shuffle job like line_dedup
+    # needs only the 8g default, so don't pay 48g unless the job does.
+    env = dict(os.environ,
+               SPARK_DRIVER_MEMORY=os.environ.get("SCALING_HEAP", "48g"))
     for cores in (lo, hi):
         print(f"running {job} at local[{cores}]...", file=sys.stderr)
         proc = subprocess.run(
