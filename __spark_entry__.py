@@ -684,6 +684,27 @@ def _substring_dup_sql() -> str:
     return DD.substring_dup_stats_sql(t, "t2", "doc_id")
 
 
+def q_substring_remove(spark, sf):
+    """Exact-substring REMOVAL (Lee et al. 2022 ExactSubstr — the
+    production operator behind the detection stats above): duplicated
+    token windows are cut out of every occurrence but the corpus-wide
+    first, ordered by (doc, start). Same planted boilerplate: doc 0
+    keeps its text byte-identical; docs 6, 12, ... come back EMPTY
+    (every window duplicated), and untouched docs pass through
+    byte-identical — all value-hashed against the DuckDB twin."""
+    _pin_session(spark)
+    d = _t(spark, sf, "documents")
+    t = F.when(F.col("doc_id") % 6 == 0, F.lit(_BOILER)).otherwise(F.col("text"))
+    return DD.substring_remove(
+        d.select("doc_id", t.alias("t2")), "t2", "doc_id")
+
+
+def _substring_remove_sql() -> str:
+    t = (f"(select doc_id, case when doc_id % 6 = 0 then '{_BOILER}' "
+         f"else text end as t2 from documents)")
+    return DD.substring_remove_sql(t, "t2", "doc_id")
+
+
 def q_kmeans_centroids(spark, sf):
     """Iterative k-means centroid training (Lloyd, 3 iterations) as
     DataFrame aggregations, gate-checked per cell against the
@@ -1790,7 +1811,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker sat at position 61, silently dropping 11 documented entries
     out of the gate).
 
-    Round-6 window = (a) NEW entries (corpus_build — the composed
+    Round-6 window = (a) NEW entries (substring_remove — Lee et al.
+    ExactSubstr span removal; corpus_build — the composed
     end-to-end corpus-build job, VERDICT r05 item 3; paragraph_dedup)
     and entries whose operator code round 6 touched (lines.py literal-
     sep escaping → line_dedup; media.py offset guard + detector-shaped
@@ -1803,14 +1825,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     langid_margin, exact_dedup, corpus_stats, streaming_scrub,
     pii_coverage_ext, fb_profile_updates, tt_user_videos, media_scrub
     — the last explicitly demanded into the window this round despite
-    being rows-only); (c) 29 r04-verified tail entries, oldest first.
-    After r06 lands, no entry's verdict is older than r04: the ten
-    r04-verified entries left below the boundary (jaccard_pairs,
-    dedup_clusters, dedup_keep_list, contamination, substring_dup,
-    chunk_text, quality_repetition, a2/a5/a6) are r04-green on
-    unchanged code, and the rest of the tail is r05-green."""
+    being rows-only); (c) 28 r04-verified tail entries, oldest first.
+    After r06 lands, no entry's verdict is older than r04: the eleven
+    r04-verified entries left below the boundary (minhash_signature,
+    jaccard_pairs, dedup_clusters, dedup_keep_list, contamination,
+    substring_dup, chunk_text, quality_repetition, a2/a5/a6) are
+    r04-green on unchanged code, and the rest of the tail is
+    r05-green."""
     return {
         # -- (a) new / operator code touched in round 6 --
+        "substring_remove": q_substring_remove,  # NEW: ExactSubstr removal
         "corpus_build": q_corpus_build,      # NEW: composed e2e job
         "bloom_incremental_dedup": q_bloom_incremental_dedup,  # NEW
         "paragraph_dedup": q_paragraph_dedup,  # NEW: "\n\n" granularity
@@ -1862,12 +1886,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p8_routing": q_p8_routing,
         "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
-        "minhash_signature": q_minhash_signature,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r04/r05-driver-green on unchanged code:
         # the r04-verified entries (re-window next round; lsh_pairs
-        # displaced by the new bloom_incremental_dedup entry) and the
+        # displaced by the new bloom_incremental_dedup entry,
+        # minhash_signature by the new substring_remove entry) and the
         # r05-verified entries rotated out to make room
+        "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -2054,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_coverage_ext": _pii_coverage_ext_sql(),
         "web_preprocess": _web_preprocess_sql(),
         "substring_dup": _substring_dup_sql(),
+        "substring_remove": _substring_remove_sql(),
         "incremental_dedup": _incremental_dedup_sql(),
         # same SQL on purpose: the bloom pre-filter must not change the
         # answer, and the shared oracle is the proof

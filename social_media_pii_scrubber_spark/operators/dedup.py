@@ -524,3 +524,134 @@ def substring_dup_stats_sql(table_sql: str, text_col: str, id_col: str,
         f"round(sum(case when occ > 1 then 1 else 0 end) * 1.0 / count(*), 6) as dup_fraction "
         f"from wins join counts using (wh) group by {id_col}"
     )
+
+
+def substring_remove(df: DataFrame, text_col: str, id_col: str,
+                     window: int = SUBSTR_WINDOW,
+                     stride: int = SUBSTR_STRIDE) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 2022 "ExactSubstr"): cut
+    every duplicated ``window``-token span out of all but its first
+    occurrence, corpus-wide.
+
+    Semantics (deterministic, oracle-checked by the SQL twin below):
+    token windows are hashed on the LOWERCASED text (same normalization
+    as ``substring_dup_stats``); for each window content the first
+    occurrence ordered by (doc id, start position) survives; every
+    other occurrence's token span [start, start+window) is removed from
+    its doc. Docs with no removals pass through BYTE-IDENTICAL; docs
+    with removals are rebuilt from the surviving original-case tokens
+    joined by single spaces (whitespace-normalized — the same
+    normalization the detection tokenizer applies).
+
+    Plan shape (mirrors ``lines.line_dedup``, the benched topology):
+    one explode pass computes (doc, start, 128-bit window fingerprint)
+    rows; ONE exchange keyed on the xxhash64-pair fingerprint is
+    REUSED by BOTH the first-occurrence aggregate (min over a
+    (doc,start) struct — partial-agg'd map-side, so a boilerplate
+    window repeated 10^6 times costs one row per map task) and the
+    probe side of the join (verified live: ReusedExchange in the AQE
+    final plan; keying on the md5 STRING instead broke the stage-reuse
+    canonicalization via the inner-join's isnotnull inference AND
+    would shuffle a 32-char key where 16 fixed bytes do). The join is
+    LEFT but never null — every window has a first occurrence — which
+    keeps the probe subtree free of null filters, like line_dedup.
+    Non-canonical occurrences collapse to a per-doc sorted
+    removal-start list (rows only for docs that actually lose spans —
+    sparse at web scale); one final join back to the corpus rebuilds
+    the text. Rebuild cost is O(tokens x removal_spans) per doc via an
+    indexed ``filter`` HOF — removal spans are bounded by
+    tokens/stride, and the split() is let-bound once per row (never
+    re-evaluated inside the lambda body, CLAUDE.md HOF invariant)."""
+    i = F.col(id_col)
+    wins = (
+        ensure_min_parallelism(df)
+        # null-id docs can never receive removals (the join-back key
+        # won't match), so exclude them from detection EXPLICITLY and
+        # BELOW the shared subtree: the final left join infers
+        # isnotnull(id) on the removals side anyway, and without this
+        # filter the inference pushes into the probe branch only —
+        # breaking subtree parity and the ReusedExchange (measured:
+        # the corpus got exploded + hashed twice)
+        .filter(i.isNotNull())
+        .select(
+            i.alias("_id"),
+            F.posexplode(_window_hashes_expr(F.col(text_col), window, stride)
+                         ).alias("_p", "_wh"),
+        )
+        # start positions are 1-based (slice semantics): start = 1 + p*stride
+        .select("_id", (F.lit(1) + F.col("_p") * stride).alias("_start"),
+                F.xxhash64("_wh").alias("_h1"),
+                F.xxhash64(F.lit("wh2"), F.col("_wh")).alias("_h2"))
+        .repartition("_h1", "_h2")
+    )
+    first = wins.groupBy("_h1", "_h2").agg(
+        F.min(F.struct(F.col("_id").alias("fid"),
+                       F.col("_start").alias("fstart"))).alias("_first"))
+    removals = (
+        wins.join(first, on=["_h1", "_h2"], how="left")
+        .filter((F.col("_first.fid") != F.col("_id"))
+                | (F.col("_first.fstart") != F.col("_start")))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_start")).alias("_rm"))
+        .withColumnRenamed("_id", id_col)
+    )
+    w = F.lit(window)
+
+    def rebuild(toks: Column) -> Column:
+        # token at 0-based index p (1-based position p+1) is removed iff
+        # some removal start s covers it: s <= p+1 < s+window
+        return F.array_join(
+            F.filter(toks, lambda t, p: ~F.exists(
+                F.col("_rm"), lambda s: (s <= p + 1) & (p + 1 < s + w))),
+            " ")
+
+    return (
+        df.join(removals, on=id_col, how="left")
+        .select(
+            i,
+            F.when(F.col("_rm").isNull(), F.col(text_col))
+            .otherwise(let_expr(F.split(F.trim(F.col(text_col)), r"\s+"),
+                                rebuild))
+            .alias("text_sub_deduped"),
+            F.when(F.col("_rm").isNull(), F.lit(0))
+            .otherwise(F.size("_rm")).alias("removed_windows"),
+        )
+    )
+
+
+def substring_remove_sql(table_sql: str, text_col: str, id_col: str,
+                         window: int = SUBSTR_WINDOW,
+                         stride: int = SUBSTR_STRIDE) -> str:
+    """DuckDB twin of :func:`substring_remove` — same window hashing,
+    same (doc, start) first-occurrence ordering (min over a struct,
+    the ``line_dedup_sql`` pattern), same indexed-mask rebuild. The
+    twin groups on the md5 window hash directly; the Spark side's
+    extra xxhash64-pair fingerprint is semantically identical up to a
+    ~1e-15 collision bound and never appears in the output (the
+    ``line_dedup`` argument)."""
+    lo = f"regexp_split_to_array(trim(lower({text_col})), '\\s+')"
+    orig = f"regexp_split_to_array(trim({text_col}), '\\s+')"
+    return (
+        f"with s as (select {id_col} as _id, {text_col} as _txt, "
+        f"  {lo} as wl, {orig} as wo from {table_sql}), "
+        f"st as (select _id, wl, "
+        f"  unnest(range(1, len(wl) - {window} + 2, {stride})) as i"
+        f"  from s where len(wl) >= {window} and _id is not null), "
+        f"wins as (select _id, i, "
+        f"  md5(array_to_string(list_slice(wl, i, i + {window - 1}), ' ')) as wh"
+        f"  from st), "
+        f"firsts as (select wh, "
+        f"  min(struct_pack(fid := _id, fstart := i)) as f"
+        f"  from wins group by wh), "
+        f"rm as (select _id, list_sort(list(i)) as rl"
+        f"  from wins join firsts using (wh)"
+        f"  where not (f.fid = _id and f.fstart = i) group by _id) "
+        f"select s._id as {id_col}, "
+        f"case when r.rl is null then s._txt "
+        f"  else array_to_string(list_where(s.wo, "
+        f"    list_transform(range(1, len(s.wo) + 1), "
+        f"      p -> len(list_filter(r.rl, q -> q <= p and p < q + {window})) = 0)"
+        f"  ), ' ') end as text_sub_deduped, "
+        f"cast(coalesce(len(r.rl), 0) as bigint) as removed_windows "
+        f"from s left join rm r using (_id)"
+    )

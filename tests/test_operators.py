@@ -262,6 +262,66 @@ class TestSubstringDup:
         assert r.dup_windows >= 2
 
 
+class TestSubstringRemove:
+    """ExactSubstr REMOVAL (Lee et al. 2022): first occurrence by
+    (doc, start) keeps the span; all later occurrences lose it."""
+
+    def test_first_occurrence_wins_and_others_are_cut(self, spark):
+        from social_media_pii_scrubber_spark.operators.dedup import (
+            substring_remove,
+        )
+        boiler = " ".join(f"tok{i}" for i in range(30))
+        uniq = " ".join(f"only{i}" for i in range(30))
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2, 3, 4],
+            "text": [boiler, boiler, uniq, "too short"],
+        }), "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               substring_remove(df, "text", "doc_id").collect()}
+        assert len(got) == 4  # every doc survives as a row
+        # doc 1 is the corpus-wide first occurrence: byte-identical
+        assert got[1].text_sub_deduped == boiler
+        assert got[1].removed_windows == 0
+        # doc 2 is fully boilerplate: every window cut -> empty text
+        assert got[2].text_sub_deduped == ""
+        assert got[2].removed_windows == 5  # starts 1,6,11,16,21 @ W=10,S=5
+        # untouched docs pass through byte-identical (incl. sub-window)
+        assert got[3].text_sub_deduped == uniq
+        assert got[4].text_sub_deduped == "too short"
+
+    def test_within_doc_repeat_keeps_leading_copy(self, spark):
+        from social_media_pii_scrubber_spark.operators.dedup import (
+            substring_remove,
+        )
+        span = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [9], "text": [span + " " + span]}),
+            "doc_id long, text string")
+        r = substring_remove(df, "text", "doc_id").collect()[0]
+        # the start-11 window duplicates the start-1 window: its ten
+        # tokens are removed, the leading copy survives
+        assert r.text_sub_deduped == span
+        assert r.removed_windows == 1
+
+    def test_partial_overlap_is_not_removed(self, spark):
+        """Strided detection only fires on aligned identical windows —
+        a span sitting at an unaligned offset in another doc keeps
+        its text (the documented approximation vs suffix arrays)."""
+        from social_media_pii_scrubber_spark.operators.dedup import (
+            substring_remove,
+        )
+        span = " ".join(f"w{i}" for i in range(12))
+        df = spark.createDataFrame(pd.DataFrame({
+            "doc_id": [1, 2],
+            "text": [span, "pre one " + span + " post"],
+        }), "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               substring_remove(df, "text", "doc_id").collect()}
+        assert got[1].removed_windows == 0
+        assert got[2].removed_windows == 0
+        assert got[2].text_sub_deduped == "pre one " + span + " post"
+
+
 class TestDriverContract:
     """The driver gate checks only the FIRST 50 queries() keys — these
     tests make the window a checked invariant instead of a comment

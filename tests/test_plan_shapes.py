@@ -216,6 +216,32 @@ def test_line_dedup_partial_agg_no_cartesian(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
 
 
+def test_substring_remove_reuses_window_exchange(spark, sf_dir):
+    """substring_remove pins line_dedup's topology: the 128-bit
+    window-fingerprint exchange is computed ONCE and reused by the
+    first-occurrence aggregate and the join probe (keying on the md5
+    string instead measurably broke AQE stage reuse — the corpus would
+    be exploded and hashed twice), with map-side partial_min and no
+    cartesian degeneration."""
+    from social_media_pii_scrubber_spark.operators.dedup import (
+        substring_remove,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = substring_remove(docs, "text", "doc_id")
+        df.collect()  # AQE finalizes
+        p = plan_of(df)
+        assert "partial_min" in p, p[:3000]
+        assert "ReusedExchange" in p, p[:3000]
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
 def test_dsir_ratio_join_broadcast_and_partial_sum(spark, sf_dir):
     """DSIR's per-doc scoring join must broadcast the bounded
     16^prefix-row ratio dimension (static stats mis-estimate it through
