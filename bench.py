@@ -315,6 +315,15 @@ def main() -> None:
         paragraph_dedup(paras, "para", "url")))
     paras.unpersist()
 
+    # q8d: exact-substring REMOVAL over the 1M-page corpus (Lee et al.
+    # ExactSubstr) — strided 10-token windows, ~15-40 window rows/doc
+    # through ONE reused fingerprint exchange, removal spans cut from
+    # non-first occurrences, rebuild joined back. Uses the raw cached
+    # corpus (window detection tokenizes on whitespace; no line
+    # marking needed).
+    timed("q8d_substring_remove", lambda: _count(
+        DD.substring_remove(pages.select("url", "text"), "text", "url")))
+
     # q10: DSIR importance weights over the 1M-page web corpus at the
     # production bucket width (65536 xxhash64 buckets). The source
     # distribution is FIT ON A 10% HASH SAMPLE — the at-scale estimator
