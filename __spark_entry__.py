@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from social_media_pii_scrubber_spark.config import ScrubConfig
+from social_media_pii_scrubber_spark.functions import encoding as ENC
 from social_media_pii_scrubber_spark.functions import html as HT
 from social_media_pii_scrubber_spark.functions import langid as L
 from social_media_pii_scrubber_spark.functions import quality as Q
@@ -1401,6 +1402,42 @@ def q_nfc_normalize(spark, sf):
     )
 
 
+# Four plant variants, damaged at import time by the module's own
+# utf8→sloppy-cp1252 helper: 3-byte punctuation forms ("â€™"), the
+# control-char case (“”'s closing quote damages to â€ + chr(157)),
+# 2-byte accents, and one pure-ASCII suffix exercising the marker
+# guard's no-op path. Both engines see literal plants from the same
+# table; the cross-check validates engine REPLACE semantics, and the
+# table itself is validated against the scalar reference in
+# tests/test_encoding.py.
+_MOJI_CLEAN = [
+    " It’s a “quoted” suffix — café, naïve… €5",
+    " plain ascii suffix stays unchanged",
+    " Ångström – œuvre Æon ± 10°",
+    " ¡Señor! ¿Dónde? «brûlée» ÿ",
+]
+_MOJI_PLANTS = [ENC.damage(s) for s in _MOJI_CLEAN]
+
+
+def q_fix_mojibake(spark, sf):
+    """Mojibake repair (ftfy-equivalent, derived table — the web-scale
+    encoding-cleanup stage CCNet/C4/FineWeb run before quality
+    scoring): every doc gets a deterministically chosen damaged
+    suffix; the repaired full text is value-hashed cross-engine and
+    chars_fixed counts the repair shrinkage (0 for the ASCII plant)."""
+    d = _t(spark, sf, "documents")
+    plant = F.element_at(
+        F.array(*[F.lit(p) for p in _MOJI_PLANTS]),
+        (F.col("doc_id") % 4 + 1).cast("int"))
+    raw = F.concat(F.col("text"), plant)
+    fixed = ENC.fix_mojibake_expr(raw)
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        (F.length(raw) - F.length(fixed)).cast("bigint").alias("chars_fixed"),
+    )
+
+
 def q_bpe_merges(spark, sf):
     """Distributed BPE tokenizer training (Sennrich et al. 2016) over
     the documents corpus: 20 merges learned on the weighted word vocab
@@ -1811,7 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker sat at position 61, silently dropping 11 documented entries
     out of the gate).
 
-    Round-6 window = (a) NEW entries (substring_remove — Lee et al.
+    Round-6 window = (a) NEW entries (fix_mojibake — derived-table
+    encoding repair; substring_remove — Lee et al.
     ExactSubstr span removal; corpus_build — the composed
     end-to-end corpus-build job, VERDICT r05 item 3; paragraph_dedup)
     and entries whose operator code round 6 touched (lines.py literal-
@@ -1825,15 +1863,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     langid_margin, exact_dedup, corpus_stats, streaming_scrub,
     pii_coverage_ext, fb_profile_updates, tt_user_videos, media_scrub
     — the last explicitly demanded into the window this round despite
-    being rows-only); (c) 28 r04-verified tail entries, oldest first.
-    After r06 lands, no entry's verdict is older than r04: the eleven
-    r04-verified entries left below the boundary (minhash_signature,
+    being rows-only); (c) 27 r04-verified tail entries, oldest first.
+    After r06 lands, no entry's verdict is older than r04: the twelve
+    r04-verified entries left below the boundary (s3_txt_kv,
+    minhash_signature,
     jaccard_pairs, dedup_clusters, dedup_keep_list, contamination,
     substring_dup, chunk_text, quality_repetition, a2/a5/a6) are
     r04-green on unchanged code, and the rest of the tail is
     r05-green."""
     return {
         # -- (a) new / operator code touched in round 6 --
+        "fix_mojibake": q_fix_mojibake,      # NEW: encoding repair
         "substring_remove": q_substring_remove,  # NEW: ExactSubstr removal
         "corpus_build": q_corpus_build,      # NEW: composed e2e job
         "bloom_incremental_dedup": q_bloom_incremental_dedup,  # NEW
@@ -1885,13 +1925,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u2_interleaved": q_u2_interleaved,
         "p8_routing": q_p8_routing,
         "s2_from_json": q_s2_from_json,
-        "s3_txt_kv": q_s3_txt_kv,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r04/r05-driver-green on unchanged code:
         # the r04-verified entries (re-window next round; lsh_pairs
         # displaced by the new bloom_incremental_dedup entry,
-        # minhash_signature by the new substring_remove entry) and the
+        # minhash_signature by the new substring_remove entry,
+        # s3_txt_kv by the new fix_mojibake entry) and the
         # r05-verified entries rotated out to make room
+        "s3_txt_kv": q_s3_txt_kv,
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -2328,6 +2369,13 @@ def oracle_sql() -> dict[str, str]:
             f"{T.nfc_normalize_sql('raw')} != raw as changed from "
             f"(select doc_id, text || {_NFD_SUFFIX_SQL} as raw "
             f"from documents)"
+        ),
+        "fix_mojibake": (
+            f"select doc_id, {ENC.fix_mojibake_sql('raw')} as fixed, "
+            f"cast(length(raw) - length({ENC.fix_mojibake_sql('raw')}) "
+            f"as bigint) as chars_fixed from (select doc_id, text || "
+            f"([{', '.join(ENC._sql_lit(p) for p in _MOJI_PLANTS)}])"
+            f"[cast(doc_id % 4 as int) + 1] as raw from documents)"
         ),
         "semdedup_keep": SIM.semdedup_keep_sql(
             _EMB_WITH_DUPS_SQL, "embedding", "vec_id",

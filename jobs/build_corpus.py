@@ -55,6 +55,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from social_media_pii_scrubber_spark.functions import encoding as ENC
 from social_media_pii_scrubber_spark.functions import quality as Q
 from social_media_pii_scrubber_spark.functions import scrub as S
 from social_media_pii_scrubber_spark.functions import text as T
@@ -101,6 +102,7 @@ def build_corpus(pages: DataFrame, *,
                  id_col: str = "doc_id", url_col: str = "url",
                  text_col: str = "text", lang_col: str = "lang",
                  oracle_profile: bool = False,
+                 fix_encoding: bool = False,
                  jaccard_threshold: float = 0.8,
                  classifier_model: tuple | None = None,
                  classifier_buckets: int | None = None,
@@ -123,15 +125,26 @@ def build_corpus(pages: DataFrame, *,
     classifier weights) so ``build_corpus_sql`` is an exact twin;
     the default is the at-scale xxhash64 production profile with
     ``classifier_model=(weights_dict, bias)`` inference.
+
+    ``fix_encoding=True`` (opt-in, like the flagship's toxicity stage)
+    prepends the mojibake repair chain (functions/encoding.py) to s0 —
+    the production position: encoding damage corrupts every downstream
+    signal (langid stopwords, dedup fingerprints, quality ratios), so
+    CCNet/FineWeb repair before scoring. Pure guarded codegen; clean
+    rows pay six ``contains`` scans.
     """
     i = F.col(id_col)
     budgets = DEFAULT_BUDGETS if budgets is None else budgets
 
-    # s0: canonicalize + canonical-url dedup (keep min id per canon)
+    # s0: (opt-in) encoding repair, canonicalize + canonical-url dedup
+    # (keep min id per canon)
+    t0 = F.col(text_col)
+    if fix_encoding:
+        t0 = ENC.fix_mojibake_expr(t0)
     c = pages.select(
         i.alias(id_col),
         U.url_canonicalize_expr(F.col(url_col)).alias("canonical_url"),
-        F.col(text_col).alias("text"),
+        t0.alias("text"),
         F.col(lang_col).alias("lang"),
     )
     first = c.groupBy("canonical_url").agg(F.min(id_col).alias(id_col))
@@ -207,6 +220,7 @@ def build_corpus(pages: DataFrame, *,
 def build_corpus_sql(pages_sql: str, *,
                      id_col: str = "doc_id", url_col: str = "url",
                      text_col: str = "text", lang_col: str = "lang",
+                     fix_encoding: bool = False,
                      jaccard_threshold: float = 0.8,
                      classifier_bias: float = CLASSIFIER_BIAS,
                      budgets: dict[str, int] | None = None,
@@ -225,6 +239,7 @@ def build_corpus_sql(pages_sql: str, *,
     stages combinatorially (measured: minutes at 500 docs vs ~2 s
     materialized)."""
     budgets = DEFAULT_BUDGETS if budgets is None else budgets
+    t0 = ENC.fix_mojibake_sql(text_col) if fix_encoding else text_col
     canon = U.url_canonicalize_sql(url_col)
     pairs = ("select id_a, id_b from ("
              + DD.jaccard_pairs_sql("d", "text", id_col,
@@ -235,7 +250,7 @@ def build_corpus_sql(pages_sql: str, *,
         f"with p as ({pages_sql}), "
         # s0: canonicalize + canonical-url dedup
         f"c0 as materialized (select {id_col}, {canon} as canonical_url, "
-        f"  {text_col} as text, {lang_col} as lang from p), "
+        f"  {t0} as text, {lang_col} as lang from p), "
         f"cf as (select canonical_url, min({id_col}) as {id_col} "
         f"  from c0 group by canonical_url), "
         f"c as materialized "

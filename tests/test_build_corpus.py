@@ -6,11 +6,13 @@ chain lives in the corpus_build gate entry (__spark_entry__.py) — the
 DuckDB twin is run by tools/check_oracle.py and the driver, not here.
 """
 
+import duckdb
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from jobs.build_corpus import build_corpus, run_build_corpus
+from jobs.build_corpus import build_corpus, build_corpus_sql, run_build_corpus
+from social_media_pii_scrubber_spark.functions import encoding as ENC
 
 GOOD = ("the data pipeline reads the table and writes the result with "
         "a clean filter step so the output stays small and useful for "
@@ -100,6 +102,50 @@ def test_mix_budget_zero_for_unbudgeted_stratum(spark):
         pack_budget=128, pack_buckets=4,
     )
     assert out.filter(F.col("lang") == "de").count() == 0
+
+
+def test_fix_encoding_repairs_before_scoring(spark):
+    # doc 5's text arrives mojibake-damaged (utf8 decoded as cp1252
+    # somewhere upstream). With fix_encoding=True the repair runs at
+    # s0 — BEFORE dedup fingerprints and quality scoring — so the
+    # surviving clean_text carries the repaired characters; without
+    # the flag the damage flows through untouched. The DuckDB twin
+    # with the same flag agrees byte-for-byte on the repaired doc.
+    # each doc needs >= ~8 unique tokens on top of the shared GOOD
+    # body or the near-dup stage (jaccard >= 0.8) collapses the whole
+    # corpus onto doc 0
+    def _uniq(i):
+        return " ".join(f"w{i}x{j}" for j in range(8))
+
+    clean5 = f"{GOOD} café’s naïve résumé summary {_uniq(5)} t5."
+    pdf = pd.DataFrame(
+        [(i, f"https://host{i % 5}.example/p/{i}",
+          ENC.damage(clean5) if i == 5
+          else f"{GOOD} marker {_uniq(i)} t{i}.",
+          "en")
+         for i in range(8)],
+        columns=["doc_id", "url", "text", "lang"])
+    kw = dict(id_col="doc_id", classifier_bias=100.0,
+              budgets={"en": 100_000}, pack_budget=128, pack_buckets=4)
+
+    repaired = build_corpus(
+        spark.createDataFrame(pdf), oracle_profile=True,
+        fix_encoding=True, **kw)
+    row = {r["doc_id"]: r for r in repaired.collect()}[5]
+    assert "café’s naïve" in row["clean_text"]
+
+    raw = build_corpus(
+        spark.createDataFrame(pdf), oracle_profile=True,
+        fix_encoding=False, **kw)
+    row_raw = {r["doc_id"]: r for r in raw.collect()}.get(5)
+    assert row_raw is None or "cafÃ©" in row_raw["clean_text"]
+
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    twin = con.sql(build_corpus_sql(
+        "select * from pages", fix_encoding=True, **kw)).df()
+    twin5 = twin[twin["doc_id"] == 5]["clean_text"].iloc[0]
+    assert twin5 == row["clean_text"]
 
 
 def test_classifier_gate_can_drop_all(spark):

@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from social_media_pii_scrubber_spark.functions import encoding as ENC
 from social_media_pii_scrubber_spark.functions import html as H
 from social_media_pii_scrubber_spark.functions import langid as L
 from social_media_pii_scrubber_spark.functions import quality as Q
@@ -53,6 +54,10 @@ FRAGMENTS = [
     # and script-looking character data must survive as text
     "&lt;already escaped&gt;", "&amp;amp;", "a&b<c>d", "</p><p>", "<!-- x -->",
     "<script>alert(1)</script>", "5 < 6 && 7 > 4", "&nbsp;&copy;",
+    # mojibake adversaries: damaged 2- and 3-byte forms, the
+    # control-char closing quote, a bare marker, double damage
+    "cafÃ© â€” itâ€™s â€œfineâ€\x9d â‚¬5", "loose Ã marker",
+    "ÃƒÂ© double-damaged", "Ã… Ã†on Â«xÂ» Â°", "naÃ¯ve faÃ§ade",
 ]
 
 
@@ -110,6 +115,7 @@ def test_all_twins_agree(spark, corpora):
         DS.bucket_expr(F.col("t")).alias("dsbk"),
         F.round(DS.gumbel_expr(F.col("t")), 6).alias("dsgu"),
         F.round(CLF.hash_weight_expr(F.col("t")), 9).alias("clw"),
+        ENC.fix_mojibake_expr(F.col("t")).alias("moji"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -136,7 +142,8 @@ def test_all_twins_agree(spark, corpora):
         f"coalesce(array_to_string({DS.ngrams_sql('t')}, chr(31)), '') as dsng, "
         f"{DS.bucket_sql('t')} as dsbk, "
         f"round({DS.gumbel_sql('t')}, 6) as dsgu, "
-        f"round({CLF.hash_weight_sql('t')}, 9) as clw from tt"
+        f"round({CLF.hash_weight_sql('t')}, 9) as clw, "
+        f"{ENC.fix_mojibake_sql('t')} as moji from tt"
     ).df()
 
     # extractor ∘ synthesizer must be the identity on EVERY fragment —
