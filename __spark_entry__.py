@@ -1265,6 +1265,15 @@ def q_cap_per_key(spark, sf):
     return SA.cap_per_key(ev, "user_id", n=3, order_col="event_id")
 
 
+def q_global_shuffle(spark, sf):
+    """Deterministic global shuffle + shard assignment (the final
+    training-data-prep stage: i.i.d. batch order from a host/time-
+    grouped crawl). shard = md5-mod projection; pos = dense rank by
+    hash within shard — layout-independent, both engines bit-agree."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    return SA.global_shuffle(d, "doc_id", n_shards=8)
+
+
 def q_train_char_lm(spark, sf):
     d = _t(spark, sf, "documents")
     return SA.train_char_lm(d, "text")
@@ -1848,7 +1857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker sat at position 61, silently dropping 11 documented entries
     out of the gate).
 
-    Round-6 window = (a) NEW entries (fix_mojibake — derived-table
+    Round-6 window = (a) NEW entries (global_shuffle — deterministic
+    shuffle+shard; fix_mojibake — derived-table
     encoding repair; substring_remove — Lee et al.
     ExactSubstr span removal; corpus_build — the composed
     end-to-end corpus-build job, VERDICT r05 item 3; paragraph_dedup)
@@ -1863,9 +1873,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     langid_margin, exact_dedup, corpus_stats, streaming_scrub,
     pii_coverage_ext, fb_profile_updates, tt_user_videos, media_scrub
     — the last explicitly demanded into the window this round despite
-    being rows-only); (c) 27 r04-verified tail entries, oldest first.
-    After r06 lands, no entry's verdict is older than r04: the twelve
-    r04-verified entries left below the boundary (s3_txt_kv,
+    being rows-only); (c) 26 r04-verified tail entries, oldest first.
+    After r06 lands, no entry's verdict is older than r04: the thirteen
+    r04-verified entries left below the boundary (s2_from_json,
+    s3_txt_kv,
     minhash_signature,
     jaccard_pairs, dedup_clusters, dedup_keep_list, contamination,
     substring_dup, chunk_text, quality_repetition, a2/a5/a6) are
@@ -1873,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r05-green."""
     return {
         # -- (a) new / operator code touched in round 6 --
+        "global_shuffle": q_global_shuffle,  # NEW: shuffle+shard prep
         "fix_mojibake": q_fix_mojibake,      # NEW: encoding repair
         "substring_remove": q_substring_remove,  # NEW: ExactSubstr removal
         "corpus_build": q_corpus_build,      # NEW: composed e2e job
@@ -1924,14 +1936,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_dynamic_pivot": q_a4_dynamic_pivot,
         "u2_interleaved": q_u2_interleaved,
         "p8_routing": q_p8_routing,
-        "s2_from_json": q_s2_from_json,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r04/r05-driver-green on unchanged code:
         # the r04-verified entries (re-window next round; lsh_pairs
         # displaced by the new bloom_incremental_dedup entry,
         # minhash_signature by the new substring_remove entry,
-        # s3_txt_kv by the new fix_mojibake entry) and the
+        # s3_txt_kv by the new fix_mojibake entry,
+        # s2_from_json by the new global_shuffle entry) and the
         # r05-verified entries rotated out to make room
+        "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
@@ -2328,6 +2341,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cap_per_key": SA.cap_per_key_sql(
             "(select event_id, user_id from events)", "user_id", 3, "event_id"
+        ),
+        "global_shuffle": SA.global_shuffle_sql(
+            "(select doc_id from documents)", "doc_id", n_shards=8
         ),
         "train_char_lm": SA.train_char_lm_sql("documents", "text"),
         "dedup_clusters": CC.connected_components_sql(

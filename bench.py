@@ -399,6 +399,28 @@ def main() -> None:
         _count(HST.host_reputation_filter(pages, stats, "url"))
     timed("q15_host_reputation_filter", _q15)
 
+    # q17: mojibake repair over the 1M-page corpus with a realistic 5%
+    # damage rate (hash-planted damaged suffix). The marker guard is
+    # the point: 95% of rows short-circuit after six contains scans and
+    # never run the 123-replace chain — this prices the repair stage a
+    # web pipeline prepends to every quality signal.
+    from social_media_pii_scrubber_spark.functions import encoding as ENC
+    dmg = F.lit(ENC.damage(" It’s a “damaged” suffix — café, naïve… €5"))
+    moji_raw = F.when(F.pmod(F.xxhash64("url"), F.lit(20)) < 1,
+                      F.concat(F.col("text"), dmg)).otherwise(F.col("text"))
+    timed("q17_fix_mojibake_5pct", lambda: pages.select(
+        F.sum(F.length(ENC.fix_mojibake_expr(moji_raw))).alias("s")
+    ).collect())
+
+    # q18: deterministic global shuffle + shard assignment (32 shards)
+    # over the 1M-page corpus — one exchange on the md5-derived shard
+    # plus the per-shard external sort that materializing a shuffled
+    # training order costs anywhere; max(pos) forces the window.
+    from social_media_pii_scrubber_spark.operators import sampling as SA
+    timed("q18_global_shuffle", lambda: SA.global_shuffle(
+        pages.select("url"), "url", n_shards=32)
+        .agg(F.max("pos").alias("m")).collect())
+
     # q16: the composed end-to-end corpus-build job (url canonicalize →
     # line dedup → exact dedup → near-dup dedup → host filter →
     # quality+toxicity gate → classifier selection → token-budget mix →

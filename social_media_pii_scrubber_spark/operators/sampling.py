@@ -211,6 +211,51 @@ def take_by_token_budget_sql(table_sql: str, key_col: str, strata_col: str,
     )
 
 
+def global_shuffle(df: DataFrame, key_col: str, n_shards: int,
+                   seed: int = 17, with_pos: bool = True) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the final
+    stage of training-data prep (training wants i.i.d. batch order;
+    crawls arrive grouped by host/snapshot/time, and THAT correlation
+    is what a plain partitioned write preserves).
+
+    shard = int(md5(key:seed)[:12]) mod n_shards — a pure codegen
+    projection, layout-independent and engine-portable like every
+    decision hash in this module. ``with_pos`` adds the row's dense
+    position within its shard (row_number ordered by the full hash,
+    key-tiebroken): that is ONE exchange on shard + a per-shard
+    external sort — exactly the cost any engine pays to materialize a
+    shuffled order, and Spark's sort spills rather than OOMs. At scale
+    pick n_shards >= cluster parallelism so each shard (corpus/n rows)
+    fits a task's spill budget comfortably; md5 is uniform, so shards
+    balance to +-O(sqrt) without salting. Writers that only need the
+    ORDER (not the index) should skip with_pos and instead
+    ``repartition(n, "shard").sortWithinPartitions("_h")`` — same
+    exchange, no window dense-rank bookkeeping."""
+    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
+    shard = (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+             % n_shards).cast("int")
+    out = df.withColumn("_h", h).withColumn("shard", shard)
+    if with_pos:
+        w = Window.partitionBy("shard").orderBy(
+            F.col("_h").asc(), F.col(key_col).asc())
+        out = out.withColumn(
+            "pos", F.row_number().over(w).cast("bigint"))
+    return out.drop("_h")
+
+
+def global_shuffle_sql(table_sql: str, key_col: str, n_shards: int,
+                       seed: int = 17) -> str:
+    h = f"md5(cast({key_col} as varchar) || ':{seed}')"
+    shard = (f"cast(('0x' || substr({h}, 1, 12))::bigint "
+             f"% {n_shards} as int)")
+    return (
+        f"select * exclude (_h), cast(row_number() over "
+        f"(partition by shard order by _h asc, {key_col} asc) "
+        f"as bigint) as pos "
+        f"from (select *, {h} as _h, {shard} as shard from {table_sql})"
+    )
+
+
 def train_char_lm(df: DataFrame, text_col: str,
                   oov_count: int = 1) -> DataFrame:
     """Byte-unigram LM training: (code, logprob) from corpus counts.

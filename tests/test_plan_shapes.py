@@ -277,3 +277,39 @@ def test_classifier_score_broadcast_and_partial_sum(spark, sf_dir):
     assert joins and all("BroadcastHashJoin" in l for l in joins), (
         joins or p[:3000])
     assert "partial_sum" in p, p[:3000]
+
+
+def test_global_shuffle_one_exchange_no_global_sort(spark, sf_dir):
+    """The shuffled-order materialization must cost exactly ONE
+    exchange (hashpartitioning on shard) + a per-shard window sort —
+    a rangepartitioning exchange would mean a global sort (sampling
+    pass + skew exposure), and a second hash exchange would mean the
+    shard projection ran after the shuffle instead of before it."""
+    from social_media_pii_scrubber_spark.operators.sampling import global_shuffle
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    df = global_shuffle(d, "doc_id", 8)
+    df.collect()  # finalize AQE
+    p = plan_of(df)
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final[:2000]
+    assert "rangepartitioning" not in final, final[:2000]
+    assert "ArrowEvalPython" not in final
+
+
+def test_fix_mojibake_pure_codegen_projection(spark, sf_dir):
+    """The 123-pair repair chain must stay a single codegen projection
+    over the scan: no exchange, no Python barrier — clean rows pay the
+    six-contains marker guard only."""
+    from social_media_pii_scrubber_spark.functions.encoding import (
+        fix_mojibake_expr,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = d.select(F.sum(F.length(
+        fix_mojibake_expr(F.col("text")))).alias("s"))
+    p = plan_of(df)
+    scan_to_agg = p.split("FileScan")[0]
+    assert "ArrowEvalPython" not in p
+    assert "Exchange hashpartitioning" not in scan_to_agg.replace(
+        "Exchange SinglePartition", "")  # only the final agg gather

@@ -204,3 +204,47 @@ class TestScoreBuckets:
         want = {r[0]: r[-1] for r in con.sql(
             score_buckets_sql("t", "ppl", "doc_id")).fetchall()}
         assert got == want
+
+
+class TestGlobalShuffle:
+    def _d(self, spark):
+        return spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+
+    def test_layout_independent_and_dense(self, spark):
+        d = self._d(spark)
+        a = {(r.doc_id, r.shard, r.pos) for r in
+             SA.global_shuffle(d, "doc_id", 8).collect()}
+        b = {(r.doc_id, r.shard, r.pos) for r in
+             SA.global_shuffle(d.repartition(23), "doc_id", 8).collect()}
+        assert a == b and len(a) == 500
+        # pos is dense 1..|shard| within each shard
+        by_shard = {}
+        for _, s, p in a:
+            by_shard.setdefault(s, []).append(p)
+        assert set(by_shard) == set(range(8))
+        for ps in by_shard.values():
+            assert sorted(ps) == list(range(1, len(ps) + 1))
+
+    def test_shards_balance_and_decorrelate_input_order(self, spark):
+        d = self._d(spark)
+        rows = SA.global_shuffle(d, "doc_id", 4).collect()
+        sizes = {}
+        for r in rows:
+            sizes[r.shard] = sizes.get(r.shard, 0) + 1
+        assert max(sizes.values()) < 2 * min(sizes.values())
+        # within a shard, hash order must decorrelate doc_id order:
+        # the head of shard 0 is not the head of the corpus
+        head = [r.doc_id for r in rows if r.shard == 0 and r.pos <= 20]
+        assert head != sorted(head)
+
+    def test_duckdb_twin_matches(self, spark):
+        import duckdb
+
+        d = self._d(spark)
+        got = {(r.doc_id, r.shard, r.pos) for r in
+               SA.global_shuffle(d, "doc_id", 8).collect()}
+        con = duckdb.connect()
+        twin = con.sql(SA.global_shuffle_sql(
+            f"'{SF}/documents.parquet'", "doc_id", 8)).df()
+        exp = set(zip(twin["doc_id"], twin["shard"], twin["pos"]))
+        assert got == exp

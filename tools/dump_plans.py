@@ -78,6 +78,17 @@ SECTIONS = [
      "fingerprint-keyed exchange REUSED by the first-occurrence "
      "aggregate and the probe join; partial_min map-side; sep is a "
      "regex-escaped literal so split and rejoin agree"),
+    ("fix_mojibake",
+     "the 123-pair repair chain is ONE codegen projection: a CASE "
+     "guarded by six contains scans, the nested replace chain "
+     "evaluated only on marker-bearing rows; no exchange, no Python, "
+     "no per-pair expression re-evaluation"),
+    ("global_shuffle",
+     "shard assignment is a pure codegen md5-mod projection; the "
+     "dense in-shard pos costs exactly ONE exchange "
+     "(hashpartitioning on shard) + a per-shard sort for the window "
+     "— the minimum any engine pays to materialize a shuffled order; "
+     "no global sort, no driver collect"),
     ("corpus_build",
      "the composed end-to-end job: each stage contributes exactly its "
      "standalone exchanges, none re-derived — canon dedup (1 agg + "
