@@ -211,6 +211,21 @@ def take_by_token_budget_sql(table_sql: str, key_col: str, strata_col: str,
     )
 
 
+def shuffle_hash_expr(key: Column, seed: int) -> Column:
+    """Full md5 hex of key:seed — the shuffle-order key (same decision-
+    hash convention as the samplers, full width so order ties are
+    astronomically unlikely before the key tiebreak)."""
+    return F.md5(F.concat(key.cast("string"), F.lit(f":{seed}")))
+
+
+def shard_expr(h: Column, n_shards: int) -> Column:
+    """Shard id from a shuffle hash: int(hex[:12]) mod n — a pure
+    codegen projection shared by ``global_shuffle`` and the
+    order-only shard writer (sources/sinks.py)."""
+    return (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
+            % n_shards).cast("int")
+
+
 def global_shuffle(df: DataFrame, key_col: str, n_shards: int,
                    seed: int = 17, with_pos: bool = True) -> DataFrame:
     """Deterministic global shuffle + shard assignment — the final
@@ -231,10 +246,9 @@ def global_shuffle(df: DataFrame, key_col: str, n_shards: int,
     ORDER (not the index) should skip with_pos and instead
     ``repartition(n, "shard").sortWithinPartitions("_h")`` — same
     exchange, no window dense-rank bookkeeping."""
-    h = F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{seed}")))
-    shard = (F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint")
-             % n_shards).cast("int")
-    out = df.withColumn("_h", h).withColumn("shard", shard)
+    h = shuffle_hash_expr(F.col(key_col), seed)
+    out = df.withColumn("_h", h).withColumn(
+        "shard", shard_expr(F.col("_h"), n_shards))
     if with_pos:
         w = Window.partitionBy("shard").orderBy(
             F.col("_h").asc(), F.col(key_col).asc())

@@ -43,3 +43,43 @@ def gen_csv(df: DataFrame, header: list[str], out_dir: str,
         .csv(path)
     )
     return path
+
+
+def write_shuffled_shards(df: DataFrame, key_col: str, path: str,
+                          n_shards: int, seed: int = 17) -> dict:
+    """Order-only shuffled shard writer — the production counterpart
+    of ``operators/sampling.py global_shuffle``: training needs the
+    shuffled ORDER on disk, not a dense index, so this skips the
+    window entirely. shard = the same md5-mod projection; rows land in
+    ``shard=K/`` directories, each written by ONE task in shuffle-hash
+    order (repartition on shard + sortWithinPartitions on the hash —
+    the sort is external, it spills rather than OOMs). Deterministic
+    for a given (key set, n_shards, seed) on any input layout, so a
+    re-run after failure rewrites identical shards (same
+    all-or-nothing per-directory semantics as the checkpoint writer).
+
+    At scale pick n_shards >= cluster parallelism: one task per shard
+    is the write parallelism, and corpus/n_shards rows must fit a
+    task's spill budget. Returns ``{"path", "n_shards", "rows"}``.
+    """
+    from ..operators.sampling import shard_expr, shuffle_hash_expr
+
+    keyed = df.withColumn(
+        "_h", shuffle_hash_expr(F.col(key_col), seed)
+    ).withColumn("shard", shard_expr(F.col("_h"), n_shards))
+    rows = keyed.count()
+    # the sort MUST lead with the partition column: the planned V1
+    # write requires an ordering on (shard) and otherwise inserts its
+    # own sort, which ELIMINATES this one (observed: rows landed in
+    # input order). With the shard prefix the writer sees its
+    # requirement already satisfied and the hash order survives.
+    (
+        keyed.repartition(n_shards, "shard")
+        .sortWithinPartitions(
+            F.col("shard").asc(), F.col("_h").asc(), F.col(key_col).asc())
+        .drop("_h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return {"path": path, "n_shards": n_shards, "rows": rows}
