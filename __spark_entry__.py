@@ -333,6 +333,54 @@ def q_corpus_stats(spark, sf):
     return corpus_stats(_t(spark, sf, "documents"), "text", "lang")
 
 
+_PII_HEAVY_SUFFIX = (
+    " contact: ann@corp.example 555-123-4567 bob@corp.example"
+    " 10.0.0.1 cal@corp.example 555-987-6543 dee@corp.example")
+_PII_LIGHT_SUFFIX = " reach eve@corp.example or 555-222-3333"
+
+
+def q_pii_density_filter(spark, sf):
+    """FineWeb-style PII-density DROP policy: every 10th doc gets a
+    directory-page suffix (7 PII hits — all drop at 3 hits/100 words
+    on this corpus's doc lengths), docs = 5 mod 10 get a light contact
+    footer (2 hits — the threshold now genuinely decides by length:
+    only sub-66-word pages drop). Hits are counted AFTER the scrub as
+    inserted {{CLASS}} tokens (inheriting the bank's sequential-order
+    semantics — an email's inner @host never double-counts as a
+    handle); density is integer basis-points of the word count."""
+    d = _t(spark, sf, "documents")
+    raw = F.when(F.col("doc_id") % 10 == 0,
+                 F.concat(F.col("text"), F.lit(_PII_HEAVY_SUFFIX))
+                 ).when(F.col("doc_id") % 10 == 5,
+                        F.concat(F.col("text"), F.lit(_PII_LIGHT_SUFFIX))
+                 ).otherwise(F.col("text"))
+    scrubbed = S.scrub_bank_expr(raw)
+    hits = S.pii_token_count_expr(scrubbed)
+    words = Q.n_words_expr(raw)
+    return d.select(
+        "doc_id",
+        hits.alias("pii_hits"),
+        words.cast("bigint").alias("n_words"),
+        S.pii_density_keep_expr(hits, words).alias("keep_pii"),
+    )
+
+
+def _pii_density_filter_sql() -> str:
+    raw = ("(case when doc_id % 10 = 0 then text || "
+           f"'{_PII_HEAVY_SUFFIX}' "
+           "when doc_id % 10 = 5 then text || "
+           f"'{_PII_LIGHT_SUFFIX}' "
+           "else text end)")  # ASCII, no quotes
+    hits = S.pii_token_count_sql(S.scrub_bank_sql("raw"))
+    words = Q.n_words_sql("raw")
+    keep = S.pii_density_keep_sql("pii_hits", "n_words")
+    return (f"select doc_id, pii_hits, n_words, {keep} as keep_pii "
+            f"from (select doc_id, {hits} as pii_hits, "
+            f"cast({words} as bigint) as n_words "
+            f"from (select doc_id, {raw} as raw from documents))")
+
+
+
 def q_pii_coverage(spark, sf):
     """Scrub-coverage audit: per-class counts of PII-shaped matches
     BEFORE and AFTER the scrub bank over the planted-PII web pages.
@@ -1857,7 +1905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker sat at position 61, silently dropping 11 documented entries
     out of the gate).
 
-    Round-6 window = (a) NEW entries (global_shuffle — deterministic
+    Round-6 window = (a) NEW entries (pii_density_filter — FineWeb-
+    style PII-density drop policy; global_shuffle — deterministic
     shuffle+shard; fix_mojibake — derived-table
     encoding repair; substring_remove — Lee et al.
     ExactSubstr span removal; corpus_build — the composed
@@ -1873,9 +1922,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     langid_margin, exact_dedup, corpus_stats, streaming_scrub,
     pii_coverage_ext, fb_profile_updates, tt_user_videos, media_scrub
     — the last explicitly demanded into the window this round despite
-    being rows-only); (c) 26 r04-verified tail entries, oldest first.
-    After r06 lands, no entry's verdict is older than r04: the thirteen
-    r04-verified entries left below the boundary (s2_from_json,
+    being rows-only); (c) 25 r04-verified tail entries, oldest first.
+    After r06 lands, no entry's verdict is older than r04: the fourteen
+    r04-verified entries left below the boundary (p8_routing,
+    s2_from_json,
     s3_txt_kv,
     minhash_signature,
     jaccard_pairs, dedup_clusters, dedup_keep_list, contamination,
@@ -1884,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r05-green."""
     return {
         # -- (a) new / operator code touched in round 6 --
+        "pii_density_filter": q_pii_density_filter,  # NEW: drop policy
         "global_shuffle": q_global_shuffle,  # NEW: shuffle+shard prep
         "fix_mojibake": q_fix_mojibake,      # NEW: encoding repair
         "substring_remove": q_substring_remove,  # NEW: ExactSubstr removal
@@ -1935,15 +1986,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_rollup": q_a3_rollup,
         "a4_dynamic_pivot": q_a4_dynamic_pivot,
         "u2_interleaved": q_u2_interleaved,
-        "p8_routing": q_p8_routing,
         # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
         # everything below is r04/r05-driver-green on unchanged code:
         # the r04-verified entries (re-window next round; lsh_pairs
         # displaced by the new bloom_incremental_dedup entry,
         # minhash_signature by the new substring_remove entry,
         # s3_txt_kv by the new fix_mojibake entry,
-        # s2_from_json by the new global_shuffle entry) and the
+        # s2_from_json by the new global_shuffle entry,
+        # p8_routing by the new pii_density_filter entry) and the
         # r05-verified entries rotated out to make room
+        "p8_routing": q_p8_routing,
         "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
         "minhash_signature": q_minhash_signature,
@@ -2130,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
             f"select url, {S.scrub_bank_sql('text')} as scrubbed_text from pages"
         ),
         "pii_coverage": _pii_coverage_sql(),
+        "pii_density_filter": _pii_density_filter_sql(),
         "pii_coverage_ext": _pii_coverage_ext_sql(),
         "web_preprocess": _web_preprocess_sql(),
         "substring_dup": _substring_dup_sql(),

@@ -108,6 +108,48 @@ def scrub_bank_python(text: str) -> str:
     return text
 
 
+# Matches any token the bank can insert — derived from SCRUB_BANK so a
+# bank edit cannot drift the counter. RE2-safe (literal braces escaped,
+# plain alternation).
+PII_TOKEN_RE = (
+    r"\{\{(" + "|".join(tok[2:-2] for _n, _p, tok in SCRUB_BANK) + r")\}\}"
+)
+
+
+def pii_token_count_expr(scrubbed: Column) -> Column:
+    """PII hits per document, counted AFTER the scrub as inserted
+    ``{{CLASS}}`` tokens — counting on the scrubbed text (which the
+    pipeline computes anyway) inherits the bank's sequential-order
+    semantics for free: an email's inner ``@host`` is never
+    double-counted as a handle, because the email pattern consumed it
+    first. One ``regexp_count``, stays in codegen."""
+    return F.regexp_count(scrubbed, F.lit(PII_TOKEN_RE)).cast("bigint")
+
+
+def pii_token_count_sql(scrubbed_sql: str) -> str:
+    return (f"cast(len(regexp_extract_all({scrubbed_sql}, "
+            f"'{PII_TOKEN_RE}')) as bigint)")
+
+
+def pii_density_keep_expr(hits: Column, n_words: Column,
+                          max_hits_bp: int = 300) -> Column:
+    """FineWeb-style document DROP policy: a page whose PII density
+    exceeds the threshold is dropped outright instead of scrubbed —
+    past a point the page IS contact data (directories, people-search
+    dumps, leaked lists) and no redaction makes it trainable.
+    ``max_hits_bp`` is in basis points of the word count (300 = 3 PII
+    hits per 100 words); the comparison is pure integer math, so both
+    engines agree bit-for-bit with no float boundary."""
+    return hits * F.lit(10000) <= F.lit(max_hits_bp) * F.greatest(
+        n_words.cast("bigint"), F.lit(1))
+
+
+def pii_density_keep_sql(hits_sql: str, n_words_sql: str,
+                         max_hits_bp: int = 300) -> str:
+    return (f"({hits_sql} * 10000 <= {max_hits_bp} * "
+            f"greatest(cast({n_words_sql} as bigint), 1))")
+
+
 # ---------------------------------------------------------------------------
 # 2. Reference-fidelity clean_text (smparserbase.py:85-96)
 # ---------------------------------------------------------------------------

@@ -116,6 +116,8 @@ def test_all_twins_agree(spark, corpora):
         F.round(DS.gumbel_expr(F.col("t")), 6).alias("dsgu"),
         F.round(CLF.hash_weight_expr(F.col("t")), 9).alias("clw"),
         ENC.fix_mojibake_expr(F.col("t")).alias("moji"),
+        S.pii_token_count_expr(
+            S.scrub_bank_expr(F.col("t"))).alias("piic"),
     ).toPandas()
 
     con = duckdb.connect()
@@ -143,7 +145,8 @@ def test_all_twins_agree(spark, corpora):
         f"{DS.bucket_sql('t')} as dsbk, "
         f"round({DS.gumbel_sql('t')}, 6) as dsgu, "
         f"round({CLF.hash_weight_sql('t')}, 9) as clw, "
-        f"{ENC.fix_mojibake_sql('t')} as moji from tt"
+        f"{ENC.fix_mojibake_sql('t')} as moji, "
+        f"{S.pii_token_count_sql(S.scrub_bank_sql('t'))} as piic from tt"
     ).df()
 
     # extractor ∘ synthesizer must be the identity on EVERY fragment —

@@ -210,3 +210,50 @@ class TestNerSwapSeam:
     def test_driver_and_udf_paths_agree(self):
         assert clean_text_python(self.PLANTED, CFG, ner_impl=_fake_real_ner) \
             == "{{NAME}} wrote to {{FIRSTNAME}} about {{ALIAS}}"
+
+
+import re as _re
+
+from social_media_pii_scrubber_spark.functions import scrub as S
+
+
+class TestPiiDensity:
+    def test_token_count_inherits_bank_order(self):
+        # the email consumed its inner @host — 2 hits, not 3
+        t = "write a@b.com or ping @handle"
+        scr = S.scrub_bank_python(t)
+        assert scr == "write {{EMAIL}} or ping {{HANDLE}}"
+        assert len(_re.findall(S.PII_TOKEN_RE, scr)) == 2
+
+    def test_token_re_derived_from_bank(self):
+        for _n, _p, tok in S.SCRUB_BANK:
+            assert _re.fullmatch(S.PII_TOKEN_RE, tok)
+        assert not _re.search(S.PII_TOKEN_RE, "{{NOTACLASS}} plain")
+
+    def test_keep_policy_integer_boundary(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        # 3 hits per 100 words (300 bp): exactly-at-threshold keeps,
+        # one hit over drops; zero words clamps to 1
+        df = spark.createDataFrame(pd.DataFrame(
+            {"hits": [3, 4, 0, 1], "words": [100, 100, 0, 0]}))
+        got = [r.k for r in df.select(S.pii_density_keep_expr(
+            F.col("hits").cast("bigint"), F.col("words"), 300
+        ).alias("k")).collect()]
+        assert got == [True, False, True, False]
+
+    def test_duckdb_twin_agrees(self):
+        import duckdb
+
+        con = duckdb.connect()
+        texts = ["a@b.com x", "no pii " * 50 + "a@b.com", "", "@h @i @j"]
+        con.register("tt", __import__("pandas").DataFrame({"t": texts}))
+        hits = S.pii_token_count_sql(S.scrub_bank_sql("t"))
+        got = con.sql(
+            f"select {hits} as h, "
+            f"{S.pii_density_keep_sql(hits, 'greatest(len(t), 1)')} as k "
+            "from tt").df()
+        want_h = [len(_re.findall(S.PII_TOKEN_RE, S.scrub_bank_python(t)))
+                  for t in texts]
+        assert got["h"].tolist() == want_h
