@@ -103,6 +103,7 @@ def build_corpus(pages: DataFrame, *,
                  text_col: str = "text", lang_col: str = "lang",
                  oracle_profile: bool = False,
                  fix_encoding: bool = False,
+                 pii_max_bp: int | None = None,
                  jaccard_threshold: float = 0.8,
                  classifier_model: tuple | None = None,
                  classifier_buckets: int | None = None,
@@ -125,6 +126,12 @@ def build_corpus(pages: DataFrame, *,
     classifier weights) so ``build_corpus_sql`` is an exact twin;
     the default is the at-scale xxhash64 production profile with
     ``classifier_model=(weights_dict, bias)`` inference.
+
+    ``pii_max_bp`` (opt-in) extends the s5 gate with the PII-density
+    DROP policy (functions/scrub.py): pages past ``pii_max_bp`` basis
+    points of PII hits per word are contact data, not prose — dropped
+    here rather than scrubbed into token soup at s9. Pure codegen,
+    counts the same bank s9 applies.
 
     ``fix_encoding=True`` (opt-in, like the flagship's toxicity stage)
     prepends the mojibake repair chain (functions/encoding.py) to s0 —
@@ -180,8 +187,17 @@ def build_corpus(pages: DataFrame, *,
 
     # s5: heuristic quality + repetition + toxicity gate (pure codegen)
     t = F.col("text")
-    d = d.filter(Q.keep_expr(t) & Q.repetition_keep_expr(t)
-                 & TX.toxicity_keep_expr(t))
+    gate = (Q.keep_expr(t) & Q.repetition_keep_expr(t)
+            & TX.toxicity_keep_expr(t))
+    if pii_max_bp is not None:
+        # opt-in PII-density DROP (functions/scrub.py): past a density
+        # the page IS contact data — drop it here instead of letting
+        # s9 scrub it into token soup. Counts the same scrub bank s9
+        # applies, still pure codegen, no extra stage.
+        hits = S.pii_token_count_expr(S.scrub_bank_expr(t))
+        gate = gate & S.pii_density_keep_expr(
+            hits, Q.n_words_expr(t), pii_max_bp)
+    d = d.filter(gate)
 
     # s6: classifier selection on the 4-dp fixed-point logit (floats
     # never decide a row cross-engine — repo invariant)
@@ -221,6 +237,7 @@ def build_corpus_sql(pages_sql: str, *,
                      id_col: str = "doc_id", url_col: str = "url",
                      text_col: str = "text", lang_col: str = "lang",
                      fix_encoding: bool = False,
+                     pii_max_bp: int | None = None,
                      jaccard_threshold: float = 0.8,
                      classifier_bias: float = CLASSIFIER_BIAS,
                      budgets: dict[str, int] | None = None,
@@ -246,6 +263,10 @@ def build_corpus_sql(pages_sql: str, *,
                                     threshold=jaccard_threshold) + ")")
     gate = (f"{Q.keep_sql('text')} and {Q.repetition_keep_sql('text')} "
             f"and {TX.toxicity_keep_sql('text')}")
+    if pii_max_bp is not None:
+        hits = S.pii_token_count_sql(S.scrub_bank_sql("text"))
+        gate += (" and " + S.pii_density_keep_sql(
+            hits, Q.n_words_sql("text"), pii_max_bp))
     return (
         f"with p as ({pages_sql}), "
         # s0: canonicalize + canonical-url dedup

@@ -179,3 +179,39 @@ def test_run_build_corpus_resume_skips_done_buckets(spark, tmp_path):
     assert data.count() == full.count()
     audit = spark.read.parquet(str(tmp_path / "audit"))
     assert audit.agg(F.sum("rows_kept")).first()[0] == full.count()
+
+
+def test_pii_density_gate_drops_contact_dump(spark):
+    # doc 5 is good prose plus a contact block: it passes the heuristic
+    # quality gate (it reads like text) but its PII density is way past
+    # 3 hits/100 words. With pii_max_bp=300 it drops — in BOTH engines;
+    # without the opt-in it survives and s9 scrubs the contacts.
+    def _uniq(i):
+        return " ".join(f"w{i}x{j}" for j in range(8))
+
+    contact = (" staff contacts are ann@corp.example and bob@corp.example"
+               " and cal@corp.example and dee@corp.example plus"
+               " 555-123-4567 or 555-987-6543 any weekday")
+    pdf = pd.DataFrame(
+        [(i, f"https://host{i % 5}.example/p/{i}",
+          f"{GOOD} marker {_uniq(i)} t{i}." + (contact if i == 5 else ""),
+          "en")
+         for i in range(8)],
+        columns=["doc_id", "url", "text", "lang"])
+    kw = dict(id_col="doc_id", classifier_bias=100.0,
+              budgets={"en": 100_000}, pack_budget=128, pack_buckets=4)
+
+    kept_open = {r["doc_id"] for r in build_corpus(
+        spark.createDataFrame(pdf), oracle_profile=True, **kw).collect()}
+    assert 5 in kept_open
+    kept_gated = {r["doc_id"] for r in build_corpus(
+        spark.createDataFrame(pdf), oracle_profile=True,
+        pii_max_bp=300, **kw).collect()}
+    assert 5 not in kept_gated
+    assert kept_gated == kept_open - {5}  # the gate touches ONLY doc 5
+
+    con = duckdb.connect()
+    con.register("pages", pdf)
+    twin = con.sql(build_corpus_sql(
+        "select * from pages", pii_max_bp=300, **kw)).df()
+    assert set(twin["doc_id"]) == kept_gated
