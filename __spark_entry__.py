@@ -715,6 +715,14 @@ _BOILER = ("all rights reserved contact the site administrator for removal "
            "and may not reflect current information please see terms")
 
 
+# q_substring_remove's plant: padded to 30 tokens (multiple of the
+# window stride) so the strided windows tile the whole doc and full
+# removal actually occurs. _BOILER itself stays untouched —
+# q_substring_dup's r04 verdict covers that exact text.
+_BOILER_RM = _BOILER + " thank you"
+assert len(_BOILER_RM.split()) == 30
+
+
 def q_substring_dup(spark, sf):
     """Exact-substring duplication stats (Lee et al. 2022 detection
     shape): strided token-window hashes, one occurrence-count shuffle,
@@ -737,19 +745,24 @@ def q_substring_remove(spark, sf):
     """Exact-substring REMOVAL (Lee et al. 2022 ExactSubstr — the
     production operator behind the detection stats above): duplicated
     token windows are cut out of every occurrence but the corpus-wide
-    first, ordered by (doc, start). Same planted boilerplate: doc 0
-    keeps its text byte-identical; docs 6, 12, ... come back EMPTY
-    (every window duplicated), and untouched docs pass through
-    byte-identical — all value-hashed against the DuckDB twin."""
+    first, ordered by (doc, start). The plant is _BOILER padded to 30
+    tokens — a multiple of the stride (5), so the strided windows tile
+    it COMPLETELY: doc 0 keeps its text byte-identical; docs 6, 12, ...
+    come back EMPTY (the ''-vs-NULL seam both engines must agree on —
+    DuckDB's array_to_string([]) is NULL and the twin coalesces it);
+    untouched docs pass through byte-identical — all value-hashed
+    against the DuckDB twin. (The 28-token _BOILER alone leaves a
+    3-token uncovered tail and would never exercise full removal.)"""
     _pin_session(spark)
     d = _t(spark, sf, "documents")
-    t = F.when(F.col("doc_id") % 6 == 0, F.lit(_BOILER)).otherwise(F.col("text"))
+    t = (F.when(F.col("doc_id") % 6 == 0, F.lit(_BOILER_RM))
+         .otherwise(F.col("text")))
     return DD.substring_remove(
         d.select("doc_id", t.alias("t2")), "t2", "doc_id")
 
 
 def _substring_remove_sql() -> str:
-    t = (f"(select doc_id, case when doc_id % 6 = 0 then '{_BOILER}' "
+    t = (f"(select doc_id, case when doc_id % 6 = 0 then '{_BOILER_RM}' "
          f"else text end as t2 from documents)")
     return DD.substring_remove_sql(t, "t2", "doc_id")
 

@@ -28,11 +28,19 @@ the emitted artifact:
 - The headline block (q1 flagship best-of-3 + the q2 column-only
   control) is additionally CONTROL-NORMALIZED: acceptance requires
   both the attempt's steal%% under the gate AND its q2 within
-  BENCH_Q2_TOL (default 1.25x) of the best q2 observed in-process
-  (seeded by a gated warmup measurement). q2 is pure JVM and code-
-  stable across rounds, so a slow q2 at low steal is exactly the
-  sys-time degradation signature — such attempts now RETRY instead
-  of silently becoming the round's recorded throughput.
+  BENCH_Q2_TOL (default 1.25x) of the q2 baseline: min(best q2
+  observed in-process, BENCH_Q2_REF). The absolute reference matters
+  — an in-process-only minimum lets a WHOLE-RUN degraded epoch
+  self-certify (every attempt equally slow, ratio 1.0; VERDICT r05
+  item 2's failure mode through the back door). BENCH_Q2_REF
+  defaults to 2.0 s, the recorded clean-window q2 across rounds
+  (BENCH.md: 2.00/2.01/2.04/2.06 s on r05-r06 code); a LEGITIMATE
+  q2 change (the column-only pipeline's code changes) must update
+  the knob — the artifact records q2_ref so a stale value is
+  visible. q2 is pure JVM and code-stable across rounds, so a slow
+  q2 at low steal is exactly the sys-time degradation signature —
+  such attempts RETRY instead of silently becoming the round's
+  recorded throughput.
 
 Env knobs:
   SPARK_GRAFT_SF_DIR        testdata dir (default /root/testdata/sf0.1)
@@ -42,6 +50,7 @@ Env knobs:
   BENCH_MAX_ATTEMPTS        headline attempts (default 5)
   BENCH_RETRY_SLEEP         seconds between headline attempts (default 30)
   BENCH_Q2_TOL              headline q2-control tolerance (default 1.25)
+  BENCH_Q2_REF              absolute q2 baseline cap, seconds (default 2.0)
   BENCH_QUERY_MAX_ATTEMPTS  per-query attempts (default 3)
   BENCH_QUERY_RETRY_SLEEP   seconds between per-query attempts (default 15)
 """
@@ -71,6 +80,13 @@ STEAL_GATE_PCT = float(os.environ.get("BENCH_STEAL_GATE", "2.0"))
 MAX_ATTEMPTS = int(os.environ.get("BENCH_MAX_ATTEMPTS", "5"))
 RETRY_SLEEP = float(os.environ.get("BENCH_RETRY_SLEEP", "30"))
 Q2_TOL = float(os.environ.get("BENCH_Q2_TOL", "1.25"))
+# the 2.0 s default is calibrated for the default 1M-row/32-core
+# config; at any other corpus size or core count the absolute cap is
+# meaningless, so it disables itself unless explicitly set
+_Q2_REF_ENV = os.environ.get("BENCH_Q2_REF")
+Q2_REF = (float(_Q2_REF_ENV) if _Q2_REF_ENV
+          else (2.0 if (WEB_ROWS == 1_000_000 and CPUS == 32)
+                else float("inf")))
 QUERY_MAX_ATTEMPTS = int(os.environ.get("BENCH_QUERY_MAX_ATTEMPTS", "3"))
 QUERY_RETRY_SLEEP = float(os.environ.get("BENCH_QUERY_RETRY_SLEEP", "15"))
 CFG = ScrubConfig()
@@ -190,13 +206,17 @@ def main() -> None:
         _count(filter_scrub_pipeline(
             pages, CFG, use_model_udfs=False).df.filter("keep"))
         q2_seed = round(time.time() - t0, 3)
-    q2_best = q2_seed if w_seed.pct <= STEAL_GATE_PCT else None
+    # baseline CAPPED by the absolute cross-round reference: a clean
+    # seed can only lower it — a degraded whole-run epoch (every q2
+    # equally slow, in-process ratio 1.0) can no longer self-certify
+    q2_best = (min(q2_seed, Q2_REF)
+               if w_seed.pct <= STEAL_GATE_PCT else Q2_REF)
 
     attempts: list[dict] = []
     for k in range(MAX_ATTEMPTS):
         a = run_headline(pages, n_pages)
         q2 = a["q2_pipeline_column_only"]
-        q2_best = q2 if q2_best is None else min(q2_best, q2)
+        q2_best = min(q2_best, q2)
         a["q2_ratio_vs_best"] = round(q2 / q2_best, 3)
         a["accepted"] = (a["steal_pct"] <= STEAL_GATE_PCT
                          and q2 <= Q2_TOL * q2_best)
@@ -476,6 +496,9 @@ def main() -> None:
         "headline_steal_pct": head["steal_pct"],
         "q2_control_seed": {"time": q2_seed, "steal_pct": w_seed.pct},
         "q2_best": q2_best,
+        # None when the absolute cap is disabled (non-calibrated
+        # config) — float('inf') would emit non-strict JSON
+        "q2_ref": (Q2_REF if Q2_REF != float("inf") else None),
         "q2_tolerance": Q2_TOL,
         "query_steal": {k: m["steal_pct"] for k, m in query_meta.items()},
         "query_attempts": {k: m["attempts"] for k, m in query_meta.items()

@@ -67,35 +67,16 @@ from social_media_pii_scrubber_spark.operators import hosts as HST
 from social_media_pii_scrubber_spark.operators import lines as LN
 from social_media_pii_scrubber_spark.operators import packing as PK
 from social_media_pii_scrubber_spark.operators import sampling as SA
+from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators.components import (
     dedup_keep_list, dedup_keep_list_sql,
 )
-from social_media_pii_scrubber_spark.operators.dedup import (
-    jaccard_pairs, lsh_candidate_pairs_fast, shingles_expr,
-)
+from social_media_pii_scrubber_spark.operators.dedup import jaccard_pairs
 
 DEFAULT_BUDGETS = {"en": 50_000, "de": 20_000, "fr": 20_000, "es": 15_000}
 CLASSIFIER_BIAS = -0.25
 PACK_BUDGET = 2048
 PACK_BUCKETS = 64
-
-
-def _near_dup_pairs_fast(df: DataFrame, text_col: str, id_col: str,
-                         threshold: float) -> DataFrame:
-    """Production near-dup pairs: wide xxhash LSH candidates → exact
-    shingle-Jaccard verify (the near_dup_dedup chain's pair stage)."""
-    cands = lsh_candidate_pairs_fast(df, text_col, id_col)
-    sh = df.select(F.col(id_col), shingles_expr(F.col(text_col)).alias("sh"))
-    joined = (
-        cands
-        .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
-    )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0))
-    )
-    return joined.filter(jac >= threshold).select("id_a", "id_b")
 
 
 def build_corpus(pages: DataFrame, *,
@@ -176,7 +157,7 @@ def build_corpus(pages: DataFrame, *,
         pairs = jaccard_pairs(d, "text", id_col,
                               threshold=jaccard_threshold).select("id_a", "id_b")
     else:
-        pairs = _near_dup_pairs_fast(d, "text", id_col, jaccard_threshold)
+        pairs = CC.near_dup_pairs_fast(d, "text", id_col, jaccard_threshold)
     d = dedup_keep_list(d, pairs, id_col).filter("keep_dedup").drop("keep_dedup")
 
     # s4: host/domain reputation rollup + filter-back

@@ -146,24 +146,15 @@ def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
     )
 
 
-def near_dup_dedup(df: DataFrame, text_col: str, id_col: str,
-                   jaccard_threshold: float = 0.8,
-                   num_hashes: int | None = None,
-                   band_size: int | None = None,
-                   checkpoint: str = "local") -> DataFrame:
-    """The PRODUCTION near-dup chain, end to end:
-
-        wide xxhash MinHash-LSH candidates (128 hashes / 16 bands)
-          → exact shingle-Jaccard verification (candidates only)
-          → connected components (transitive closure)
-          → keep_dedup flag per row (min-id representative kept)
-
-    This is the operator a 100-TB training-data pipeline actually runs;
-    the md5 profile (`dedup_keep_list` oracle entry) pins the identical
-    topology against DuckDB at gate scale, and
-    tests/test_dedup_recall.py pins this chain's recall on planted
-    J≈0.85 near-dups.
-    """
+def near_dup_pairs_fast(df: DataFrame, text_col: str, id_col: str,
+                        jaccard_threshold: float = 0.8,
+                        num_hashes: int | None = None,
+                        band_size: int | None = None) -> DataFrame:
+    """The production near-dup PAIR stage, shared by
+    :func:`near_dup_dedup` and the composed corpus-build job
+    (jobs/build_corpus.py): wide xxhash MinHash-LSH candidates →
+    exact shingle-Jaccard verification on candidates only. One home
+    so a recall or threshold fix cannot drift between the two."""
     from .dedup import (
         WIDE_BAND_SIZE, WIDE_NUM_HASHES, lsh_candidate_pairs_fast, shingles_expr,
     )
@@ -182,7 +173,29 @@ def near_dup_dedup(df: DataFrame, text_col: str, id_col: str,
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.nullif(F.size(F.array_union("sh_a", "sh_b")), F.lit(0))
     )
-    pairs = joined.filter(jac >= jaccard_threshold).select("id_a", "id_b")
+    return joined.filter(jac >= jaccard_threshold).select("id_a", "id_b")
+
+
+def near_dup_dedup(df: DataFrame, text_col: str, id_col: str,
+                   jaccard_threshold: float = 0.8,
+                   num_hashes: int | None = None,
+                   band_size: int | None = None,
+                   checkpoint: str = "local") -> DataFrame:
+    """The PRODUCTION near-dup chain, end to end:
+
+        wide xxhash MinHash-LSH candidates (128 hashes / 16 bands)
+          → exact shingle-Jaccard verification (candidates only)
+          → connected components (transitive closure)
+          → keep_dedup flag per row (min-id representative kept)
+
+    This is the operator a 100-TB training-data pipeline actually runs;
+    the md5 profile (`dedup_keep_list` oracle entry) pins the identical
+    topology against DuckDB at gate scale, and
+    tests/test_dedup_recall.py pins this chain's recall on planted
+    J≈0.85 near-dups.
+    """
+    pairs = near_dup_pairs_fast(df, text_col, id_col,
+                                jaccard_threshold, num_hashes, band_size)
     return dedup_keep_list(df, pairs, id_col, checkpoint=checkpoint)
 
 

@@ -613,8 +613,12 @@ def substring_remove(df: DataFrame, text_col: str, id_col: str,
             .otherwise(let_expr(F.split(F.trim(F.col(text_col)), r"\s+"),
                                 rebuild))
             .alias("text_sub_deduped"),
+            # bigint on BOTH sides: the driver's value hash is
+            # width-sensitive (int32 here vs the twin's bigint would
+            # pass the local kind-comparison and fail at the gate)
             F.when(F.col("_rm").isNull(), F.lit(0))
-            .otherwise(F.size("_rm")).alias("removed_windows"),
+            .otherwise(F.size("_rm")).cast("bigint")
+            .alias("removed_windows"),
         )
     )
 
@@ -648,10 +652,13 @@ def substring_remove_sql(table_sql: str, text_col: str, id_col: str,
         f"  where not (f.fid = _id and f.fstart = i) group by _id) "
         f"select s._id as {id_col}, "
         f"case when r.rl is null then s._txt "
-        f"  else array_to_string(list_where(s.wo, "
+        # coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+        # array_join of an empty array is '' — a fully-removed doc
+        # must be '' in both engines
+        f"  else coalesce(array_to_string(list_where(s.wo, "
         f"    list_transform(range(1, len(s.wo) + 1), "
         f"      p -> len(list_filter(r.rl, q -> q <= p and p < q + {window})) = 0)"
-        f"  ), ' ') end as text_sub_deduped, "
+        f"  ), ' '), '') end as text_sub_deduped, "
         f"cast(coalesce(len(r.rl), 0) as bigint) as removed_windows "
         f"from s left join rm r using (_id)"
     )

@@ -67,7 +67,6 @@ def write_shuffled_shards(df: DataFrame, key_col: str, path: str,
     keyed = df.withColumn(
         "_h", shuffle_hash_expr(F.col(key_col), seed)
     ).withColumn("shard", shard_expr(F.col("_h"), n_shards))
-    rows = keyed.count()
     # the sort MUST lead with the partition column: the planned V1
     # write requires an ordering on (shard) and otherwise inserts its
     # own sort, which ELIMINATES this one (observed: rows landed in
@@ -82,4 +81,7 @@ def write_shuffled_shards(df: DataFrame, key_col: str, path: str,
         .partitionBy("shard")
         .parquet(path)
     )
+    # row count from the WRITTEN files' parquet footers — metadata
+    # only, no second corpus pass through the hash/shard projection
+    rows = df.sparkSession.read.parquet(path).count()
     return {"path": path, "n_shards": n_shards, "rows": rows}
