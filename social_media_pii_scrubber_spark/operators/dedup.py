@@ -20,7 +20,7 @@ reproduces it bit-for-bit. The at-scale variants swap md5 for xxhash64
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint_expr, fingerprint_fast_expr, let_expr
@@ -233,7 +233,8 @@ def lsh_candidate_pairs_sql(table_sql: str, text_col: str, id_col: str,
 
 def lsh_candidate_pairs_fast(df: DataFrame, text_col: str, id_col: str,
                              num_hashes: int = WIDE_NUM_HASHES,
-                             band_size: int = WIDE_BAND_SIZE) -> DataFrame:
+                             band_size: int = WIDE_BAND_SIZE,
+                             max_bucket: int | None = None) -> DataFrame:
     """At-scale LSH variant: xxhash64 instead of md5 (no oracle twin).
 
     Same topology as ``lsh_candidate_pairs``; the signature aggregation
@@ -246,6 +247,17 @@ def lsh_candidate_pairs_fast(df: DataFrame, text_col: str, id_col: str,
     few-split input doesn't serialize the 128-hash aggregate on one
     core. Defaults to the PRODUCTION width (128 hashes / 16 bands):
     recall at J=0.85 is measured ≥0.9 by tests/test_dedup_recall.py.
+
+    ``max_bucket`` (off by default — it changes the candidate set, so
+    no oracle-gated path sets it) is the 100-TB skew guard: a band
+    bucket of size k contributes k(k-1)/2 pairs, and the buckets that
+    explode are precisely the boilerplate-universal bands whose member
+    docs agree on a band of minhashes shared by millions of pages —
+    pair-verifying those is the quadratic failure mode. Buckets larger
+    than the cap are dropped WHOLE; a genuine near-dup pair still
+    meets in its other bands (16 chances at the default width), which
+    is why recall on planted J≈0.85 dups survives the cap
+    (tests/test_dedup_recall.py pins this).
     """
     toks = ensure_min_parallelism(df).select(
         F.col(id_col),
@@ -264,6 +276,16 @@ def lsh_candidate_pairs_fast(df: DataFrame, text_col: str, id_col: str,
     bands = sig.select(
         F.col(id_col), F.posexplode(band_arr).alias("band", "bkey")
     ).repartition("band", "bkey")
+    if max_bucket is not None:
+        # bucket-size filter as a WINDOW count over the same
+        # (band, bkey) partitioning the repartition above already
+        # established — no join, no additional exchange (measured:
+        # the semi-join alternative added two)
+        _w = Window.partitionBy("band", "bkey")
+        bands = (bands
+                 .withColumn("_n", F.count(F.lit(1)).over(_w))
+                 .filter(F.col("_n") <= max_bucket)
+                 .drop("_n"))
     left, right = bands.alias("l"), bands.alias("r")
     return (
         left.join(right, on=["band", "bkey"])

@@ -121,3 +121,32 @@ class TestSimhashFast:
         rand_pairs = [(a, b) for a, b in zip(eligible, eligible[1:])]
         far = [ham(m[a], m[b]) for a, b in rand_pairs]
         assert np.mean(near) < np.mean(far) / 2
+
+
+def test_bucket_cap_preserves_recall_and_cuts_exploded_buckets(planted):
+    """The 100-TB skew guard: drop band buckets larger than the cap.
+    A planted J>=0.8 pair agrees on MANY of its 16 bands, so capping
+    the boilerplate-universal buckets must not lose it — while a
+    planted 40-doc boilerplate cluster (each band bucket holds all 40
+    docs, 780 pairs per band) must contribute NO candidates under a
+    cap of 8."""
+    df, truth = planted
+    eligible = [d for d, j in truth.items() if j >= 0.8]
+
+    boiler = " ".join(f"tok{i}" for i in range(60))
+    extra = df.sparkSession.createDataFrame(
+        pd.DataFrame({"doc_id": [900000 + i for i in range(40)],
+                      "text": [boiler] * 40}),
+        "doc_id long, text string")
+    full = df.union(extra)
+
+    capped = {(r.id_a, r.id_b) for r in DD.lsh_candidate_pairs_fast(
+        full, "text", "doc_id", max_bucket=8).collect()}
+    hits = sum((d, d + 100000) in capped for d in eligible)
+    assert hits / len(eligible) >= 0.9
+    assert not any(a >= 900000 and b >= 900000 for a, b in capped)
+
+    # and without the cap the boilerplate cluster floods in
+    open_ = {(r.id_a, r.id_b) for r in DD.lsh_candidate_pairs_fast(
+        full, "text", "doc_id").collect()}
+    assert sum(a >= 900000 and b >= 900000 for a, b in open_) == 780
