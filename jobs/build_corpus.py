@@ -69,7 +69,7 @@ from social_media_pii_scrubber_spark.operators import packing as PK
 from social_media_pii_scrubber_spark.operators import sampling as SA
 from social_media_pii_scrubber_spark.operators import components as CC
 from social_media_pii_scrubber_spark.operators.components import (
-    dedup_keep_list, dedup_keep_list_sql,
+    _cut_lineage, dedup_keep_list, dedup_keep_list_sql,
 )
 from social_media_pii_scrubber_spark.operators.dedup import jaccard_pairs
 
@@ -93,9 +93,28 @@ def build_corpus(pages: DataFrame, *,
                  pack_budget: int = PACK_BUDGET,
                  pack_buckets: int = PACK_BUCKETS,
                  min_keep_frac: float = HST.MIN_KEEP_FRAC,
-                 max_dup_frac: float = HST.MAX_DUP_FRAC) -> DataFrame:
+                 max_dup_frac: float = HST.MAX_DUP_FRAC,
+                 checkpoint: str | None = "local") -> DataFrame:
     """pages(id, url, text, lang) → curated, scrubbed, pack-assigned
     training corpus.
+
+    ``checkpoint`` materializes each stage boundary whose output is
+    consumed by MORE THAN ONE downstream subtree ('local' =
+    localCheckpoint, the single-box default; 'reliable' = durable
+    checkpoint dir, mandatory for multi-hour cluster runs — same
+    contract as operators/components.py; None = fully lazy, the
+    pre-r07 behavior). Without it, Spark re-derives the whole upstream
+    chain once per branch: every stage self-joins its input (dedup
+    keep-join, host filter-back, classifier join-back, pack join-back),
+    so the composed lazy plan grew to 558 Exchange nodes with ZERO
+    reuse (the branches' column pruning makes subtrees non-identical,
+    defeating ReusedExchange) and the 100k-page bench paid the
+    canonicalize→line-dedup→LSH chain up to 8 times over. Measured
+    r07: 169.5 s lazy → see OPTIMIZATION_r07.md for the materialized
+    number. Materializing is exactly the guide-§8 'decide with small
+    rows' discipline applied at stage granularity, and at 100 TB the
+    stage artifacts are what you would write to durable storage anyway
+    (checkpoint='reliable').
 
     ``id_col`` must be numeric and unique (the dedup representative,
     mix tie-break and pack bucketing all key on it). Output columns —
@@ -124,6 +143,10 @@ def build_corpus(pages: DataFrame, *,
     i = F.col(id_col)
     budgets = DEFAULT_BUDGETS if budgets is None else budgets
 
+    def mat(df: DataFrame) -> DataFrame:
+        """Materialize a multi-consumer stage boundary (see docstring)."""
+        return _cut_lineage(df, checkpoint) if checkpoint else df
+
     # s0: (opt-in) encoding repair, canonicalize + canonical-url dedup
     # (keep min id per canon)
     t0 = F.col(text_col)
@@ -136,11 +159,11 @@ def build_corpus(pages: DataFrame, *,
         F.col(lang_col).alias("lang"),
     )
     first = c.groupBy("canonical_url").agg(F.min(id_col).alias(id_col))
-    c = c.join(first, on=["canonical_url", id_col])
+    c = mat(c.join(first, on=["canonical_url", id_col]))
 
     # s1: corpus-global line dedup, then re-attach the slim payload
     ld = LN.line_dedup(c, "text", id_col)
-    d = (
+    d = mat(
         c.drop("text")
         .join(ld, on=id_col)
         .withColumnRenamed("text_deduped", "text")
@@ -150,7 +173,7 @@ def build_corpus(pages: DataFrame, *,
     # bounds band buckets by distinct-text count; see module doc)
     keep_exact = (DD.exact_dedup(d, "text", id_col) if oracle_profile
                   else DD.exact_dedup_fast(d, "text", id_col))
-    d = d.join(keep_exact.select(id_col), on=id_col, how="left_semi")
+    d = mat(d.join(keep_exact.select(id_col), on=id_col, how="left_semi"))
 
     # s3: near-dup dedup (pairs → components → min-id keep flag)
     if oracle_profile:
@@ -158,7 +181,8 @@ def build_corpus(pages: DataFrame, *,
                               threshold=jaccard_threshold).select("id_a", "id_b")
     else:
         pairs = CC.near_dup_pairs_fast(d, "text", id_col, jaccard_threshold)
-    d = dedup_keep_list(d, pairs, id_col).filter("keep_dedup").drop("keep_dedup")
+    d = mat(dedup_keep_list(d, pairs, id_col)
+            .filter("keep_dedup").drop("keep_dedup"))
 
     # s4: host/domain reputation rollup + filter-back
     stats = HST.host_stats(d, "canonical_url", "text")
@@ -178,7 +202,7 @@ def build_corpus(pages: DataFrame, *,
         hits = S.pii_token_count_expr(S.scrub_bank_expr(t))
         gate = gate & S.pii_density_keep_expr(
             hits, Q.n_words_expr(t), pii_max_bp)
-    d = d.filter(gate)
+    d = mat(d.filter(gate))
 
     # s6: classifier selection on the 4-dp fixed-point logit (floats
     # never decide a row cross-engine — repo invariant)
@@ -198,8 +222,8 @@ def build_corpus(pages: DataFrame, *,
 
     # s7: per-language token-budget mix
     d = d.withColumn("n_tok", T.ws_token_count_expr(F.col("text")))
-    d = SA.take_by_token_budget(d, id_col, "lang", "n_tok", budgets) \
-        .filter("keep_mix").drop("keep_mix")
+    d = mat(SA.take_by_token_budget(d, id_col, "lang", "n_tok", budgets)
+            .filter("keep_mix").drop("keep_mix"))
 
     # s8: sequence-packing assignment over the slim (id, n_tok) frame
     pk = PK.pack_sequences(d.select(id_col, "n_tok"), id_col, "n_tok",

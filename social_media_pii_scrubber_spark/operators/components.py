@@ -64,10 +64,19 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         ).distinct(),
         checkpoint,
     )  # reused every iteration
-    labels = edges.select(F.col("src").alias("node")).distinct() \
-        .withColumn("label", F.col("node"))
+    # Iteration 1 fused with label init (r07): with label(n)==n the
+    # neighbor-min join degenerates to min(dst) per src, and the node
+    # set IS groupBy(src)'s key set (edges are symmetrized) — one
+    # partial-agg'd shuffle replaces the distinct + join + agg trio the
+    # generic iteration pays.
+    labels = _cut_lineage(
+        edges.groupBy("src").agg(F.min("dst").alias("_nbr"))
+        .select(F.col("src").alias("node"),
+                F.least(F.col("src"), F.col("_nbr")).alias("label")),
+        checkpoint,
+    )
 
-    for _ in range(max_iterations):
+    for _ in range(max_iterations - 1):
         nbr_min = (
             edges.join(
                 labels.select(F.col("node").alias("dst"),
@@ -78,23 +87,25 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .agg(F.min("dst_label").alias("nbr_label"))
             .withColumnRenamed("src", "node")
         )
-        new_labels = (
+        # _chg rides through the checkpoint so convergence is a plain
+        # filter-count over already-materialized partitions — the
+        # pre-r07 shape re-joined new vs old labels (one extra shuffle
+        # join per iteration) just to count changes. nbr_label < label
+        # ⟺ the least() below strictly lowers the label (null < x is
+        # null → filtered false, matching the old inequality join).
+        new_labels = _cut_lineage(
             labels.join(nbr_min, on="node", how="left")
             .select(
                 "node",
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_label"), F.col("label"))
                         ).alias("label"),
-            )
+                (F.col("nbr_label") < F.col("label")).alias("_chg"),
+            ),
+            checkpoint,
         )
-        new_labels = _cut_lineage(new_labels, checkpoint)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("_chg").count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("id"), F.col("label").alias("cluster_id"))
@@ -149,12 +160,27 @@ def dedup_keep_list(df: DataFrame, pairs: DataFrame, id_col: str,
 def near_dup_pairs_fast(df: DataFrame, text_col: str, id_col: str,
                         jaccard_threshold: float = 0.8,
                         num_hashes: int | None = None,
-                        band_size: int | None = None) -> DataFrame:
+                        band_size: int | None = None,
+                        checkpoint: str | None = "local") -> DataFrame:
     """The production near-dup PAIR stage, shared by
     :func:`near_dup_dedup` and the composed corpus-build job
     (jobs/build_corpus.py): wide xxhash MinHash-LSH candidates →
     exact shingle-Jaccard verification on candidates only. One home
-    so a recall or threshold fix cannot drift between the two."""
+    so a recall or threshold fix cannot drift between the two.
+
+    r07: the candidate list is MATERIALIZED (``checkpoint`` — same
+    local/reliable contract as connected_components; None = lazy)
+    before it fans out. It is consumed three times (the two verify
+    joins and the semi prefilter below), and AQE's runtime stage reuse
+    does NOT deduplicate the post-band-exchange join+distinct subtree
+    (measured: the lazy fan-out re-ran it per consumer, 3.8 s →
+    9.9 s). The list is pair-ids only — orders of magnitude smaller
+    than the corpus. With it pinned, verify-side shingles are computed
+    for CANDIDATE docs only via a left_semi prefilter instead of for
+    every doc (the corpus-wide tokenize+shingle pass the verify join
+    used to pay, once per side). Plain joins — the candidate set grows
+    with the corpus (never hint-broadcast); AQE broadcasts it when
+    genuinely small."""
     from .dedup import (
         WIDE_BAND_SIZE, WIDE_NUM_HASHES, lsh_candidate_pairs_fast, shingles_expr,
     )
@@ -163,7 +189,13 @@ def near_dup_pairs_fast(df: DataFrame, text_col: str, id_col: str,
         df, text_col, id_col,
         num_hashes or WIDE_NUM_HASHES, band_size or WIDE_BAND_SIZE,
     )
-    sh = df.select(F.col(id_col), shingles_expr(F.col(text_col)).alias("sh"))
+    if checkpoint:
+        cands = _cut_lineage(cands, checkpoint)
+    cand_ids = (cands.select(F.col("id_a").alias(id_col))
+                .union(cands.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    sh = (df.join(cand_ids, on=id_col, how="left_semi")
+          .select(F.col(id_col), shingles_expr(F.col(text_col)).alias("sh")))
     joined = (
         cands
         .join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")), "id_a")

@@ -41,8 +41,10 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.text import let_expr
 
 MIN_WORDS = 4
 # C4 boilerplate markers (lowercased containment)
@@ -63,16 +65,32 @@ def _qualifies(line):
 
 
 def c4_line_filter_expr(text, min_words: int = MIN_WORDS):
-    """text → cleaned text with non-C4 lines removed (column expr)."""
-    keep = lambda ln: (  # noqa: E731
-        (_line_words(ln) >= min_words)
-        & (ln.rlike(_TERMINAL))
-        & ~F.lower(ln).contains(BLOCK_TERMS[0])
-        & ~F.lower(ln).contains(BLOCK_TERMS[1])
-        & ~F.lower(ln).contains(BLOCK_TERMS[2])
-        & ~ln.contains(BLOCK_TERMS[3])
+    """text → cleaned text with non-C4 lines removed (column expr).
+
+    r07 evaluation notes (results identical to the SQL twin, which
+    stays regex-rendered): the terminal-punctuation rule is a LAST-CHAR
+    test — ``rlike('[.!?"]\\z')`` made the Java regex engine scan every
+    position of every line via Matcher.find() — so it is evaluated as
+    ``right(ln, 1) ∈ {., !, ?, "}`` (empty line → '' → false, matching
+    the regex); and ``lower(ln)`` is computed ONCE per line by tagging
+    each line with a (ln, lo) struct before the filter — a bare
+    ``low = F.lower(ln)`` Python variable re-evaluates the tree at
+    every reference inside an interpreted HOF lambda (three containment
+    scans re-lowercased the line three times)."""
+    tagged = F.transform(
+        F.split(text, "\n"),
+        lambda ln: F.struct(ln.alias("ln"), F.lower(ln).alias("lo")),
     )
-    return F.array_join(F.filter(F.split(text, "\n"), keep), "\n")
+    keep = lambda s: (  # noqa: E731
+        (_line_words(s["ln"]) >= min_words)
+        & F.right(s["ln"], F.lit(1)).isin(".", "!", "?", '"')
+        & ~s["lo"].contains(BLOCK_TERMS[0])
+        & ~s["lo"].contains(BLOCK_TERMS[1])
+        & ~s["lo"].contains(BLOCK_TERMS[2])
+        & ~s["ln"].contains(BLOCK_TERMS[3])
+    )
+    return F.array_join(
+        F.transform(F.filter(tagged, keep), lambda s: s["ln"]), "\n")
 
 
 def c4_line_filter_sql(text: str, min_words: int = MIN_WORDS) -> str:
@@ -110,55 +128,85 @@ def line_dedup(docs: DataFrame, text_col: str, id_col: str,
     side and DuckDB's plain ``split`` in the twin (ADVICE r05).
     """
     i = F.col(id_col)
-    # ONE exchange keyed on the 128-bit line fingerprint (_h1,_h2),
-    # reused by the aggregate and the probe side of the join (both
-    # consume the exact same partitioning — the aggregate deliberately
-    # runs over ALL lines, short ones included, so its subtree is
-    # byte-identical to the probe side's and Spark emits a
-    # ReusedExchange; a filtered agg side would let Catalyst push the
-    # filter below the exchange and break the reuse. The short-line
-    # exemption moves into the kept-filter instead, which is
-    # semantically identical, and the hot short keys — the empty line
-    # above all — cost one partial-agg row per map task, not a skewed
-    # reducer.) The raw line is payload only: agg hash-map keys, join
-    # equality, and any AQE re-shuffle see 16 fixed bytes, never the
-    # line text (VERDICT r04 item 2).
-    lines = docs.select(
-        i.alias("_id"),
-        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("_pos", "_ln"),
-    ).select(
-        "_id", "_pos", "_ln",
-        F.xxhash64("_ln").alias("_h1"),
-        F.xxhash64(F.lit("ln2"), F.col("_ln")).alias("_h2"),
-    ).repartition("_h1", "_h2")
+    # r07 topology — the q8d substring_remove shape (measured ~8x
+    # cheaper than the pre-r07 ship-every-line plan): the heavy text
+    # NEVER crosses an exchange. Only QUALIFYING lines (>= min_words —
+    # the only lines that can ever be removed) explode into slim
+    # (_id, _pos, _h1, _h2) rows; ONE exchange keyed on the 128-bit
+    # xxhash64-pair fingerprint is REUSED by the first-occurrence
+    # aggregate and the join probe (the qualify filter sits BELOW the
+    # exchange on the shared subtree, so parity holds — and the hot
+    # short keys, the empty line above all, never enter the shuffle at
+    # all now). Non-first occurrences collapse to a per-doc sorted
+    # removal-position list — rows only for docs that actually lose
+    # lines, sparse at web scale — and one join back to the corpus
+    # rebuilds ONLY those docs from the original text (split+rejoin on
+    # the literal sep is the identity for untouched docs, so they pass
+    # through byte-identical without being re-assembled). Fingerprint
+    # collision bound and null-id note: as before (module doc); null-id
+    # docs can never receive removals, and the explicit isNotNull
+    # filter below the shared subtree keeps the left join's inferred
+    # null filter from breaking exchange reuse (the substring_remove
+    # lesson).
+    esc = re.escape(sep)
+    lines = (
+        docs
+        .filter(i.isNotNull() & F.col(text_col).isNotNull())
+        .select(
+            i.alias("_id"),
+            F.posexplode(F.split(F.col(text_col), esc)).alias("_pos", "_ln"),
+        )
+        .filter(_qualifies(F.col("_ln")))
+        .select(
+            "_id", "_pos",
+            F.xxhash64("_ln").alias("_h1"),
+            F.xxhash64(F.lit("ln2"), F.col("_ln")).alias("_h2"),
+        )
+        .repartition("_h1", "_h2")
+    )
     # first occurrence per line: min over a (doc, pos) struct — the agg
     # partial-combines map-side, so hot lines cost one row per task.
-    # The trailing flen field is a pruning-parity anchor: without a
-    # reference to _ln the aggregate branch's below-exchange projection
-    # is narrower than the probe side's and the ReusedExchange breaks;
-    # (fid, fpos) is unique per row, so flen never decides the min.
     first = lines.groupBy("_h1", "_h2").agg(
         F.min(F.struct(F.col("_id").alias("fid"),
-                       F.col("_pos").alias("fpos"),
-                       F.length("_ln").alias("flen"))).alias("_first")
+                       F.col("_pos").alias("fpos"))).alias("_first")
     )
-    kept = (
+    removals = (
         lines.join(first, on=["_h1", "_h2"], how="left")
-        .filter(
-            ~_qualifies(F.col("_ln"))  # short/blank lines pass through
-            | ((F.col("_first.fid") == F.col("_id"))
-               & (F.col("_first.fpos") == F.col("_pos")))
+        .filter((F.col("_first.fid") != F.col("_id"))
+                | (F.col("_first.fpos") != F.col("_pos")))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_rm"))
+        .withColumnRenamed("_id", id_col)
+    )
+
+    def rebuild(lns: Column) -> Column:
+        # 0-based filter index p matches posexplode's _pos
+        return F.array_join(
+            F.filter(lns, lambda ln, p: ~F.array_contains(F.col("_rm"), p)),
+            sep)
+
+    # Row parity with the pre-r07 groupBy-reassembly output (pinned by
+    # tests/test_lines.py::test_line_dedup_row_parity_edge_cases):
+    # null-text docs produce no exploded rows and therefore no output
+    # row; a doc whose EVERY line is removed loses its group the same
+    # way. Both filters below reproduce that exactly.
+    out = (
+        docs.join(removals, on=id_col, how="left")
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            i,
+            F.when(F.col("_rm").isNull(), F.col(text_col))
+            .otherwise(let_expr(F.split(F.col(text_col), esc), rebuild))
+            .alias("text_deduped"),
+            F.when(F.col("_rm").isNull(), F.lit(False))
+            .otherwise(F.size("_rm")
+                       >= F.size(F.split(F.col(text_col), esc)))
+            .alias("_all_gone"),
         )
+        .filter(~F.col("_all_gone"))
+        .select(F.col(id_col), "text_deduped")
     )
-    return (
-        kept.groupBy("_id")
-        .agg(F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_pos", "_ln"))),
-                lambda s: s["_ln"],
-            ), sep).alias("text_deduped"))
-        .select(F.col("_id").alias(id_col), "text_deduped")
-    )
+    return out
 
 
 def paragraph_dedup(docs: DataFrame, text_col: str, id_col: str,

@@ -39,12 +39,38 @@ def _as_double(v: Column) -> Column:
     return v.cast("array<double>")
 
 
+def dot_expr(a: Column, b: Column) -> Column:
+    """dot(a, b) — the exact fold cosine_expr computes (same order).
+    Measured note (r07): an unrolled per-index F.get chain is SLOWER
+    than this fold (5.2 s vs 3.1 s on 254k 64-dim pairs) — per-element
+    null/bounds-check dispatch beats one array traversal — so the fold
+    stays; the pair-stage wins come from hoisting the two NORMS out of
+    the per-pair work and from parallelizing the self-join."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(v: Column) -> Column:
+    """sqrt(Σ v_k²) (fold form, any dimension) — the exact subexpression
+    cosine_expr computes per side, exposed so pair joins can hoist the
+    two norms out of the per-pair work (r07: norms are per-ROW values;
+    computing them per PAIR multiplied the interpreted fold count by
+    the bucket size)."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """cosine(a, b), computed in double, rounded to 4 decimals."""
     a, b = _as_double(a), _as_double(b)
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    dot = dot_expr(a, b)
+    na = norm_expr(a)
+    nb = norm_expr(b)
+    return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 4)
+
+
+def cosine_from_parts_expr(dot: Column, na: Column, nb: Column) -> Column:
+    """round(dot / nullif(na*nb, 0), 4) — cosine_expr's final step over
+    pre-computed parts (identical arithmetic, identical rounding)."""
     return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 4)
 
 
@@ -64,16 +90,23 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     Deterministic ranking: (rounded cosine desc, match id asc) so ties
     at the k-boundary resolve identically in any engine.
     """
+    # r07: norms hoisted out of the per-(query, match) work — the
+    # corpus norm is computed once per row and the query norm rides
+    # the broadcast (identical arithmetic; see norm_expr).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qvec"),
+    ).withColumn("qnorm", norm_expr(F.col("qvec")))
     # adaptive: a single-file embeddings table must not serialize the
     # dot-product scan on one core (no-op when splits >= cores)
     c = ensure_min_parallelism(corpus).select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cvec")
-    )
+        F.col(id_col).alias("match_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    ).withColumn("cnorm", norm_expr(F.col("cvec")))
     scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id", "match_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine")
+        "query_id", "match_id",
+        cosine_from_parts_expr(dot_expr(F.col("qvec"), F.col("cvec")),
+                               F.col("qnorm"), F.col("cnorm")).alias("cosine"),
     ).filter(F.col("query_id") != F.col("match_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
@@ -183,11 +216,7 @@ def hyperplane_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     v = _as_double(vec)
     acc = F.lit(0).cast("bigint")
     for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(w) for w in p]).cast("array<double>")
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0),
-            lambda a, x: a + x,
-        )
+        dot = _lit_dot_expr(v, p)
         acc = acc + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("bigint")
     return acc
 
@@ -279,14 +308,21 @@ def embedding_dup_pairs_amplified(
                 F.col(f"r.{id_col}").alias("id_b"))
         .distinct()
     )
-    vecs = df.select(F.col(id_col), F.col(vec_col))
+    # r07: norms hoisted to the per-row vecs projection, per-pair dot
+    # unrolled over the known dim (identical arithmetic; see semdedup)
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v")) \
+        .withColumn("_n", norm_expr(F.col("_v")))
     verified = (
         cand.join(vecs.select(F.col(id_col).alias("id_a"),
-                              F.col(vec_col).alias("_va")), "id_a")
+                              F.col("_v").alias("_va"),
+                              F.col("_n").alias("_na")), "id_a")
         .join(vecs.select(F.col(id_col).alias("id_b"),
-                          F.col(vec_col).alias("_vb")), "id_b")
+                          F.col("_v").alias("_vb"),
+                          F.col("_n").alias("_nb")), "id_b")
         .select("id_a", "id_b",
-                cosine_expr(F.col("_va"), F.col("_vb")).alias("cosine"))
+                cosine_from_parts_expr(
+                    dot_expr(F.col("_va"), F.col("_vb")),
+                    F.col("_na"), F.col("_nb")).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     return verified
@@ -418,6 +454,13 @@ def make_centroids(n_cells: int, dim: int, seed: int = 977) -> list[list[float]]
 
 
 def _lit_dot_expr(v: Column, vec: list[float]) -> Column:
+    """dot(v, literal) as the interpreted fold. Kept fold-shaped on
+    purpose (r07): n_cells × dim unrolled terms — duplicated again by
+    array_position(dots, array_max(dots)) — overflow the whole-stage
+    codegen method limit (janino InternalCompilerException → the WHOLE
+    stage falls back to interpreted, a net loss), and an unrolled
+    per-pair chain also measured slower than the fold (see dot_expr).
+    Cell assignment is a per-ROW cost either way."""
     lit = F.array(*[F.lit(w) for w in vec]).cast("array<double>")
     return F.aggregate(F.zip_with(v, lit, lambda x, y: x * y),
                        F.lit(0.0), lambda a, x: a + x)
@@ -461,11 +504,14 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     cents = centroids if centroids is not None else make_centroids(
         n_cells, dim, seed)
     n_cells = len(cents)
+    # r07: corpus-side norm computed once per ROW (not once per
+    # (query, match) pair), query-side norm rides the broadcast.
+    # Identical arithmetic to cosine_expr (see semdedup).
     c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("match_id"),
-        F.col(vec_col).alias("cvec"),
+        _as_double(F.col(vec_col)).alias("cvec"),
         ivf_cell_expr(F.col(vec_col), cents).alias("cell"),
-    )
+    ).withColumn("cnorm", norm_expr(F.col("cvec")))
     qd = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -477,13 +523,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, id_col: str,
     qcells = (
         qd.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= probe)
-        .select("query_id", "qvec", (F.col("ci") + 1).cast("int").alias("cell"))
+        .select("query_id", _as_double(F.col("qvec")).alias("qvec"),
+                (F.col("ci") + 1).cast("int").alias("cell"))
+        .withColumn("qnorm", norm_expr(F.col("qvec")))
     )
     scored = (
         c.join(F.broadcast(qcells), on="cell")
         .filter(F.col("query_id") != F.col("match_id"))
         .select("query_id", "match_id",
-                cosine_expr(F.col("qvec"), F.col("cvec")).alias("cosine"))
+                cosine_from_parts_expr(
+                    dot_expr(F.col("qvec"), F.col("cvec")),
+                    F.col("qnorm"), F.col("cnorm")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc())
@@ -574,20 +624,34 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     shuffles on the cell key only, so pair work is Σ|cell|², bounded
     by the quantizer granularity — never corpus². Centroids are model
     parameters (train with kmeans_train, pass as literals)."""
-    cells = df.select(
+    # r07, two changes with bit-identical output:
+    # 1. The vector NORM is a per-ROW value — computing it inside
+    #    cosine_expr per PAIR multiplied the fold count by the cell
+    #    size (Σ|cell|² pairs × 3 folds each). Both norms are hoisted
+    #    into the pre-join projection (norm_expr is the exact
+    #    subexpression cosine_expr computed per side), leaving ONE
+    #    fold (the dot) per pair.
+    # 2. ensure_min_parallelism: a single-file embeddings table arrives
+    #    as one cached partition; the small side broadcasts, so the
+    #    ENTIRE Σ|cell|² pair loop ran in a single task (measured: 1
+    #    task × 254k pairs at sf0.1 — the whole q12 wall time).
+    cells = ensure_min_parallelism(df).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v"),
         ivf_cell_expr(F.col(vec_col), centroids).alias("_cell"),
+    ).select(
+        id_col, "_v", "_cell", norm_expr(F.col("_v")).alias("_n"),
     )
     a = cells.select(F.col(id_col).alias("id_a"),
-                     F.col("_v").alias("_va"), "_cell")
+                     F.col("_v").alias("_va"), F.col("_n").alias("_na"), "_cell")
     b = cells.select(F.col(id_col).alias("id_b"),
-                     F.col("_v").alias("_vb"), "_cell")
+                     F.col("_v").alias("_vb"), F.col("_n").alias("_nb"), "_cell")
+    cos = cosine_from_parts_expr(
+        dot_expr(F.col("_va"), F.col("_vb")),
+        F.col("_na"), F.col("_nb"))
     return (
         a.join(b, on="_cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(cosine_expr(F.col("_va"), F.col("_vb")), 6)
-                .alias("cosine"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
