@@ -93,8 +93,9 @@ def bucket_fast_expr(ngram: Column, n_buckets: int = 16 ** PROD_BUCKET_PREFIX
 
 def _distribution(df: DataFrame, text_col: str, space: DataFrame,
                   bucket_of, n_buckets: int) -> DataFrame:
-    b = df.select(F.explode(ngrams_expr(F.col(text_col))).alias("ng")) \
-        .select(bucket_of(F.col("ng")).alias("bucket"))
+    # bucket inside the array, explode bucket ids (see score_exploded)
+    b = df.select(F.explode(F.transform(ngrams_expr(F.col(text_col)),
+                                        bucket_of)).alias("bucket"))
     counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("t"))
     return (
@@ -199,10 +200,20 @@ def score_exploded(df: DataFrame, text_col: str, id_col: str,
     bucket-space join, planning a full shuffle of the exploded corpus
     otherwise. Docs with no n-grams score the bare offset
     (explode_outer keeps them; a null ngram's bucket joins nothing)."""
+    # r07: bucket INSIDE the array (transform) and explode the bucket
+    # ids, instead of exploding the ngram strings and bucketing row-at-
+    # a-time — the explode then materializes fixed-width rows (bigint
+    # for the production profile) rather than ngram strings, and the
+    # string never leaves the per-row array. Same values: transform
+    # applies the identical bucket expression per element, and an empty
+    # ngram array still yields one null-bucket row via explode_outer
+    # (transform of an empty array is empty), exactly as the null ngram
+    # did before.
     exploded = df.select(
         F.col(id_col),
-        F.explode_outer(ngrams_expr(F.col(text_col))).alias("ng"),
-    ).select(id_col, bucket_of(F.col("ng")).alias("bucket"))
+        F.explode_outer(F.transform(ngrams_expr(F.col(text_col)), bucket_of)
+                        ).alias("bucket"),
+    )
     joined = exploded.join(F.broadcast(dim), on="bucket", how="left")
     return joined.groupBy(id_col).agg(
         (F.coalesce(F.sum(value_col), F.lit(0.0)) + F.lit(float(offset)))

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import quality as Q
-from ..functions.text import fingerprint_expr, fingerprint_sql
+from ..functions.text import fingerprint_fast_expr, fingerprint_sql
 from ..plans.partitioning import HOST_RE, url_host_expr
 
 MIN_KEEP_FRAC = 0.25   # host must keep ≥ this fraction of its pages
@@ -59,7 +59,14 @@ def host_stats(pages: DataFrame, url_col: str = "url",
     dimension. One shuffle, map-side combined; all ratios derive from
     exact integer aggregates by one division."""
     t = F.col(text_col)
-    fp = fingerprint_expr(t)
+    # r07: the fingerprint feeds ONLY a distinct count, so the cheaper
+    # 64-bit xxhash64 replaces md5 (same count up to a ~n²/2^65
+    # collision bound — the same equality standard exact_dedup_fast
+    # already applies corpus-wide; measured 0.63 s → 0.40 s/1M docs on
+    # the hash alone). Null-guarded because xxhash64(null) returns the
+    # seed, not null — md5's null would be EXCLUDED from the distinct
+    # count and that semantic must not drift.
+    fp = F.when(t.isNotNull(), fingerprint_fast_expr(t))
     n_distinct = (F.approx_count_distinct(fp) if approx
                   else F.count_distinct(fp))
     agg = pages.groupBy(

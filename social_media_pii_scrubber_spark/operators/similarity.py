@@ -592,6 +592,9 @@ def kmeans_train(df: DataFrame, vec_col: str, n_cells: int, dim: int,
     against an independent numpy replication instead of a SQL twin."""
     cents = make_centroids(n_cells, dim, seed)
     v = _as_double(F.col(vec_col))
+    # r07: a single-file embeddings table otherwise runs every
+    # assignment+sum iteration in ONE task (same fix as semdedup_pairs)
+    df = ensure_min_parallelism(df)
     for _ in range(iters):
         assigned = df.select(
             ivf_cell_expr(F.col(vec_col), cents).alias("cell"),

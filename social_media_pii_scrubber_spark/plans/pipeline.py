@@ -45,16 +45,34 @@ class PipelineResult:
 
 
 def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the heuristic bank as pure column expressions."""
+    """Attach the heuristic bank as pure column expressions.
+
+    r07: the word array is computed ONCE into a temporary column and
+    the four token-based heuristics read it, instead of each
+    re-rendering split(trim(lower(text))) — codegen CSE does not fully
+    deduplicate the repeated split trees (same finding as
+    quality.keep_expr). The two-step projection survives the optimizer
+    because CollapseProject keeps a non-cheap alias that is referenced
+    more than once. Each heuristic computes the identical arithmetic
+    over the shared array, so values are bit-identical to the SQL
+    twins."""
     t = F.col(text_col)
-    return df.withColumns({
+    w = F.col("_qwords")
+    n = F.size(w)
+    nz = F.nullif(n, F.lit(0))
+    return df.withColumn("_qwords", Q.words_expr(t)).withColumns({
         "n_chars": Q.n_chars_expr(t),
-        "n_words": Q.n_words_expr(t),
-        "mean_word_len": Q.mean_word_len_expr(t),
+        "n_words": n,
+        "mean_word_len": F.round(
+            (F.length(F.regexp_replace(F.trim(t), r"\s+", "")) / nz)
+            .cast("double"), 6),
         "symbol_ratio": Q.symbol_ratio_expr(t),
-        "distinct_ratio": Q.distinct_ratio_expr(t),
-        "stopword_fraction": Q.stopword_fraction_expr(t),
-    })
+        "distinct_ratio": F.round(
+            F.size(F.array_distinct(w)).cast("double") / nz, 6),
+        "stopword_fraction": F.round(
+            F.size(F.filter(w, lambda x: x.isin(*Q.STOPWORDS)))
+            .cast("double") / nz, 6),
+    }).drop("_qwords")
 
 
 def filter_scrub_pipeline(
