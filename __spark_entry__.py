@@ -1918,33 +1918,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     marker sat at position 61, silently dropping 11 documented entries
     out of the gate).
 
-    Round-6 window = (a) NEW entries (pii_density_filter — FineWeb-
-    style PII-density drop policy; global_shuffle — deterministic
-    shuffle+shard; fix_mojibake — derived-table
-    encoding repair; substring_remove — Lee et al.
-    ExactSubstr span removal; corpus_build — the composed
-    end-to-end corpus-build job, VERDICT r05 item 3; paragraph_dedup)
-    and entries whose operator code round 6 touched (lines.py literal-
-    sep escaping → line_dedup; media.py offset guard + detector-shaped
-    blur box → media_bmp_scrub / media_scrub_hex; hosts.py embed guard
-    → host_reputation / host_filter; langid.py one-pass projection →
-    langid / langid_margin and every langid-consuming plan:
-    full_quality_gate, keep_f1, flagship_pipeline, flagship_from_html,
-    flagship_with_toxicity, streaming_scrub); (b) ALL 9 entries whose
-    last driver verdict is r03 (VERDICT r05 item 5: langid,
-    langid_margin, exact_dedup, corpus_stats, streaming_scrub,
-    pii_coverage_ext, fb_profile_updates, tt_user_videos, media_scrub
-    — the last explicitly demanded into the window this round despite
-    being rows-only); (c) 25 r04-verified tail entries, oldest first.
-    After r06 lands, no entry's verdict is older than r04: the fourteen
-    r04-verified entries left below the boundary (p8_routing,
-    s2_from_json,
-    s3_txt_kv,
-    minhash_signature,
-    jaccard_pairs, dedup_clusters, dedup_keep_list, contamination,
-    substring_dup, chunk_text, quality_repetition, a2/a5/a6) are
-    r04-green on unchanged code, and the rest of the tail is
-    r05-green."""
+    Round-7 window (optimization round — no new entries, no changed
+    oracle SQL): every entry whose OPERATOR IMPLEMENTATION this
+    round's optimizations touched sits inside the first 50 so the
+    driver re-verifies the rewritten paths on its own data —
+    line_dedup/paragraph_dedup (slim-fingerprint rewrite),
+    corpus_build (stage materialization), dedup_clusters/
+    dedup_keep_list/dedup_keep_best/semdedup_keep/web_preprocess
+    (connected-components rewrite), c4_line_filter (last-char terminal
+    rule), quality_repetition/quality_heuristics/full_quality_gate +
+    the flagship family (shared tokenization pass),
+    host_reputation/host_filter (xxhash distinct fingerprint),
+    quality_classifier/dsir_weights/dsir_topk (int-bucket explode),
+    cosine_topk/ivf_topk/ann_amp_topk/embedding_dup_pairs_amp/
+    ivf_trained_topk/kmeans_centroids (norm hoisting + parallelism).
+    Rotated out to make room (all r06-driver-green on code this round
+    did NOT touch): media_features, token_budget_mix, zip_ingest,
+    a3_pivot_segments, a3_rollup, a4_dynamic_pivot, u2_interleaved,
+    corpus_stats, pii_coverage_ext, fb_profile_updates,
+    tt_user_videos."""
     return {
         # -- (a) new / operator code touched in round 6 --
         "pii_density_filter": q_pii_density_filter,  # NEW: drop policy
@@ -1969,17 +1961,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scrub": q_streaming_scrub,
         # -- (b) remaining entries whose last verdict is r03 --
         "exact_dedup": q_exact_dedup,
-        "corpus_stats": q_corpus_stats,
-        "pii_coverage_ext": q_pii_coverage_ext,
-        "fb_profile_updates": q_fb_profile_updates,
-        "tt_user_videos": q_tt_user_videos,
         "media_scrub": q_media_scrub,  # rows-only (no_oracle) by design
-        # -- (c) r04-verified tail entries re-earning fresh verdicts --
+        # -- (c) r07: entries whose OPERATOR CODE this optimization
+        # round touched, pulled into the window so the driver verifies
+        # the rewritten paths (CLAUDE.md window invariant): CC rewrite
+        # → dedup_clusters / dedup_keep_list / dedup_keep_best /
+        # semdedup_keep; repetition shared-lines → quality_repetition;
+        # keep_expr shared-words → quality_heuristics; c4 last-char
+        # rule → c4_line_filter; composition of several →
+        # web_preprocess; score_exploded int-bucket explode →
+        # quality_classifier / dsir_weights / dsir_topk; norm hoisting
+        # → cosine_topk / ivf_topk / ann_amp_topk /
+        # embedding_dup_pairs_amp / ivf_trained_topk /
+        # kmeans_centroids / incremental_dedup(unchanged, kept from
+        # r06 window) --
         "kmeans_centroids": q_kmeans_centroids,
-        "media_features": q_media_features,
         "dedup_keep_best": q_dedup_keep_best,
-        "token_budget_mix": q_token_budget_mix,
-        "zip_ingest": q_zip_ingest,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
+        "quality_repetition": q_quality_repetition,
+        "quality_heuristics": q_quality_heuristics,
+        "c4_line_filter": q_c4_line_filter,
+        "web_preprocess": q_web_preprocess,
+        "quality_classifier": q_quality_classifier,
+        "cosine_topk": q_cosine_topk,
+        "ivf_topk": q_ivf_topk,
+        "ann_amp_topk": q_ann_amp_topk,
+        "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
         "ivf_trained_topk": q_ivf_trained_topk,
         "incremental_dedup": q_incremental_dedup,
         "dsir_weights": q_dsir_weights,
@@ -1995,38 +2003,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tok_counts": q_tok_counts,
         "fingerprint": q_fingerprint,
         "rolling_fp": q_rolling_fp,
+        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
+        # everything below is r04/r05/r06-driver-green on code this
+        # round did NOT touch; the r06-green entries rotated out to
+        # make room for the rewritten-operator entries above:
+        # media_features, token_budget_mix, zip_ingest,
+        # a3_pivot_segments, a3_rollup, a4_dynamic_pivot,
+        # u2_interleaved, corpus_stats*, pii_coverage_ext*,
+        # fb_profile_updates*, tt_user_videos* (*r06-green; their
+        # operator paths are untouched this round)
+        "media_features": q_media_features,
+        "corpus_stats": q_corpus_stats,
+        "pii_coverage_ext": q_pii_coverage_ext,
+        "fb_profile_updates": q_fb_profile_updates,
+        "tt_user_videos": q_tt_user_videos,
+        "token_budget_mix": q_token_budget_mix,
+        "zip_ingest": q_zip_ingest,
         "a3_pivot_segments": q_a3_pivot_segments,
         "a3_rollup": q_a3_rollup,
         "a4_dynamic_pivot": q_a4_dynamic_pivot,
         "u2_interleaved": q_u2_interleaved,
-        # ---- driver-window boundary (EXACTLY 50 above; test-pinned) ----
-        # everything below is r04/r05-driver-green on unchanged code:
-        # the r04-verified entries (re-window next round; lsh_pairs
-        # displaced by the new bloom_incremental_dedup entry,
-        # minhash_signature by the new substring_remove entry,
-        # s3_txt_kv by the new fix_mojibake entry,
-        # s2_from_json by the new global_shuffle entry,
-        # p8_routing by the new pii_density_filter entry) and the
-        # r05-verified entries rotated out to make room
         "p8_routing": q_p8_routing,
         "s2_from_json": q_s2_from_json,
         "s3_txt_kv": q_s3_txt_kv,
         "minhash_signature": q_minhash_signature,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_pairs": q_jaccard_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_list": q_dedup_keep_list,
         "contamination": q_contamination,
         "substring_dup": q_substring_dup,
         "chunk_text": q_chunk_text,
-        "quality_repetition": q_quality_repetition,
         "a2_groupby_count": q_a2_groupby_count,
         "a5_category_extract": q_a5_category_extract,
         "a6_distinct": q_a6_distinct,
-        "c4_line_filter": q_c4_line_filter,
-        "web_preprocess": q_web_preprocess,
         "bpe_merges": q_bpe_merges,
-        "quality_classifier": q_quality_classifier,
         "html_extract": q_html_extract,
         "explode_pos": q_explode_pos,
         "w1_photo_seq": q_w1_photo_seq,
@@ -2049,13 +2058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_img_ext": q_f10_img_ext,
         "f11_ph_num": q_f11_ph_num,
         "f12_json_path": q_f12_json_path,
-        "ivf_topk": q_ivf_topk,
         "perplexity_udf": q_perplexity_udf,
-        "ann_amp_topk": q_ann_amp_topk,
-        "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
-        "embedding_dup_pairs_amp": q_embedding_dup_pairs_amp,
         "url_canonicalize": q_url_canonicalize,
         "pack_sequences": q_pack_sequences,
         "tfidf": q_tfidf,
@@ -2065,7 +2070,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_by_hash": q_split_by_hash,
         "cap_per_key": q_cap_per_key,
         "train_char_lm": q_train_char_lm,
-        "quality_heuristics": q_quality_heuristics,
         "toxicity": q_toxicity,
     }
 

@@ -254,13 +254,33 @@ MAX_BULLET_LINE_FRACTION = 0.90
 
 
 def repetition_keep_expr(text: Column) -> Column:
-    """Composite keep over the repetition/line-shape family."""
-    return (
-        (dup_line_fraction_expr(text) <= MAX_DUP_LINE_FRACTION)
-        & (top_bigram_fraction_expr(text) <= MAX_TOP_BIGRAM_FRACTION)
-        & (ellipsis_line_fraction_expr(text) <= MAX_ELLIPSIS_LINE_FRACTION)
-        & (bullet_line_fraction_expr(text) <= MAX_BULLET_LINE_FRACTION)
-    )
+    """Composite keep over the repetition/line-shape family.
+
+    r07: the lines array is let-bound and shared by the three
+    line-shape heuristics (same finding as keep_expr — codegen CSE
+    does not fully dedupe the repeated split(text, '\\n') trees); each
+    heuristic computes the identical arithmetic over the shared array,
+    so results match the SQL twin bit-for-bit."""
+    from .text import let_expr
+
+    def body(ls: Column) -> Column:
+        nl = F.nullif(F.size(ls), F.lit(0))
+        dup = F.round(
+            (F.lit(1.0) - F.size(F.array_distinct(ls)) / nl).cast("double"), 6)
+        ell = F.round(
+            F.size(F.filter(ls, lambda l: l.rlike(r"\.\.\.\s*$")))
+            .cast("double") / nl, 6)
+        bul = F.round(
+            F.size(F.filter(ls, lambda l: l.rlike(r"^\s*([-*]|\d+\.)\s")))
+            .cast("double") / nl, 6)
+        return (
+            (dup <= MAX_DUP_LINE_FRACTION)
+            & (top_bigram_fraction_expr(text) <= MAX_TOP_BIGRAM_FRACTION)
+            & (ell <= MAX_ELLIPSIS_LINE_FRACTION)
+            & (bul <= MAX_BULLET_LINE_FRACTION)
+        )
+
+    return let_expr(lines_expr(text), body)
 
 
 def repetition_keep_sql(text: str) -> str:

@@ -147,3 +147,43 @@ def test_c4_line_filter(spark):
     con.register("t", pd.DataFrame({"doc_id": [1], "text": [text]}))
     duck = con.sql(f"select {c4_line_filter_sql('text')} as c from t").df().c[0]
     assert duck == got
+
+
+def test_line_dedup_row_parity_edge_cases(spark):
+    """r07 slim-shuffle rewrite: row-set parity with the pre-r07
+    groupBy-reassembly output — null-text docs and docs whose EVERY
+    line is removed produce NO output row (they never exploded a kept
+    line before); untouched docs pass through byte-identical without
+    being re-assembled."""
+    docs = spark.createDataFrame(
+        [
+            (1, "first unique long content line here.\nsecond unique long content line."),
+            # every line of doc 2 duplicates doc 1's (and qualifies) -> doc 2 vanishes
+            (2, "first unique long content line here.\nsecond unique long content line."),
+            (3, None),              # null text -> vanishes
+            (4, "short"),           # non-qualifying only -> unchanged
+            (5, ""),                # empty text -> one short line -> unchanged ('')
+        ],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text_deduped for r in
+           line_dedup(docs, "text", "doc_id").collect()}
+    assert set(got) == {1, 4, 5}
+    assert got[1] == ("first unique long content line here.\n"
+                      "second unique long content line.")
+    assert got[4] == "short"
+    assert got[5] == ""
+
+
+def test_line_dedup_partial_removal_rebuild(spark):
+    """A doc that loses SOME lines is rebuilt from the surviving lines
+    in original order with the original separator."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the shared boilerplate footer line one.\nkeep alpha unique line here."),
+            (2, "intro beta unique line first.\nthe shared boilerplate footer line one.\noutro beta unique line last."),
+        ],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text_deduped for r in
+           line_dedup(docs, "text", "doc_id").collect()}
+    assert got[1] == docs.collect()[0].text
+    assert got[2] == "intro beta unique line first.\noutro beta unique line last."

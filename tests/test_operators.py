@@ -357,25 +357,35 @@ class TestDriverContract:
         assert not (o - q), f"orphan oracles: {o - q}"
 
     def test_windowed_entries_cover_every_touched_module(self):
-        """Rotation sanity: the first-50 window must include the
-        round's changed-code entries (they are the ones whose verdicts
-        CORRECTNESS_r06 needs fresh) and the whole re-verification
-        backlog — every entry whose last driver verdict is r03
-        (VERDICT r05 item 5)."""
+        """Rotation sanity: the first-50 window must include every
+        entry whose operator implementation the CURRENT round changed
+        (they are the ones whose driver verdicts need refreshing).
+        Round 7 (optimization round): the rewritten paths — line
+        dedup, composed build, connected components, c4 filter,
+        shared-tokenization quality family, host fingerprint,
+        int-bucket scoring explode, norm-hoisted similarity family."""
         import __spark_entry__ as E
 
         window = list(E.queries())[:50]
         for must in (
-                # new in round 6 / operator code touched in round 6
-                "corpus_build", "bloom_incremental_dedup",
-                "paragraph_dedup", "line_dedup",
-                "media_bmp_scrub", "media_scrub_hex",
+                # line_dedup slim-fingerprint rewrite + consumers
+                "line_dedup", "paragraph_dedup", "corpus_build",
+                # connected-components rewrite + consumers
+                "dedup_clusters", "dedup_keep_list", "dedup_keep_best",
+                "semdedup_keep", "web_preprocess",
+                # c4 last-char terminal rule
+                "c4_line_filter",
+                # shared tokenization pass (keep/repetition/pipeline)
+                "quality_heuristics", "quality_repetition",
+                "full_quality_gate", "flagship_pipeline",
+                "flagship_from_html", "flagship_with_toxicity",
+                "streaming_scrub", "keep_f1",
+                # host distinct-count fingerprint
                 "host_reputation", "host_filter",
-                # langid one-pass rewrite + every langid-consuming plan
-                "langid", "langid_margin", "full_quality_gate",
-                "keep_f1", "flagship_pipeline", "flagship_from_html",
-                "flagship_with_toxicity", "streaming_scrub",
-                # the full last-verdict-r03 backlog (VERDICT r05 item 5)
-                "exact_dedup", "corpus_stats", "pii_coverage_ext",
-                "fb_profile_updates", "tt_user_videos", "media_scrub"):
+                # int-bucket scoring explode
+                "quality_classifier", "dsir_weights", "dsir_topk",
+                # norm hoisting + self-join parallelism
+                "cosine_topk", "ivf_topk", "ann_amp_topk",
+                "embedding_dup_pairs_amp", "ivf_trained_topk",
+                "kmeans_centroids"):
             assert must in window, must

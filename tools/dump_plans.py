@@ -30,10 +30,12 @@ SECTIONS = [
      "size(filter(...)) appears exactly once in the projection "
      "instead of re-stated per CASE branch"),
     ("line_dedup",
-     "single Exchange keyed on the 128-bit xxhash64-pair line "
-     "fingerprint (raw line is payload only), REUSED by the "
-     "first-occurrence aggregate and the join probe; partial_min "
-     "before the shuffle"),
+     "r07 slim-fingerprint topology: only QUALIFYING lines explode, as "
+     "(id, pos, h1, h2) rows — line TEXT never crosses an exchange; "
+     "the single 128-bit-fingerprint Exchange is REUSED by the "
+     "first-occurrence aggregate (partial_min map-side) and the join "
+     "probe; non-first occurrences collapse to sparse per-doc removal "
+     "lists and only docs that lose lines are rebuilt"),
     ("host_reputation",
      "one partial-agg'd groupBy(host) rollup (two HashAggregates "
      "around one exchange); ratios are projections of exact integer "
@@ -74,9 +76,8 @@ SECTIONS = [
      "one partitioned sort window per language (oracle profile; the "
      "production path tags by sampled thresholds with no sort)"),
     ("paragraph_dedup",
-     "line_dedup's exact topology at blank-line granularity: one "
-     "fingerprint-keyed exchange REUSED by the first-occurrence "
-     "aggregate and the probe join; partial_min map-side; sep is a "
+     "line_dedup's exact topology at blank-line granularity "
+     "(r07 slim-fingerprint shape, see line_dedup); sep is a "
      "regex-escaped literal so split and rejoin agree"),
     ("fix_mojibake",
      "the 123-pair repair chain is ONE codegen projection: a CASE "
@@ -90,16 +91,14 @@ SECTIONS = [
      "— the minimum any engine pays to materialize a shuffled order; "
      "no global sort, no driver collect"),
     ("corpus_build",
-     "the composed end-to-end job: each stage contributes exactly its "
-     "standalone exchanges, none re-derived — canon dedup (1 agg + "
-     "co-partitioned join), line dedup (1 reused fingerprint exchange "
-     "+ doc reassembly), exact dedup (1 agg + semi join), jaccard "
-     "pair verify + bounded CC iterations, host rollup (1 agg + anti "
-     "join), classifier (explode-agg + join-back), mix (per-stratum "
-     "window), pack (window over the slim (id,n_tok) projection + "
-     "join-back); quality gate and scrub are pure codegen projections "
-     "with NO exchange of their own; no forced broadcast on any "
-     "corpus-growing side"),
+     "the composed end-to-end job, r07 STAGE-MATERIALIZED: every "
+     "multi-consumer stage boundary is localCheckpointed (lazy "
+     "composition re-derived the upstream chain once per self-joining "
+     "stage — 558 Exchanges, zero reuse, see plans/r07), so the "
+     "dumped plan is the FINAL stage (pack join-back + scrub codegen "
+     "projection) over checkpointed inputs; per-stage plans equal the "
+     "standalone operators' committed shapes; no forced broadcast on "
+     "any corpus-growing side"),
 ]
 
 
