@@ -165,34 +165,45 @@ def top_bigram_fraction_expr(text: Column) -> Column:
     distinct×filter HOF nesting re-inlines (and re-evaluates) the bigram
     construction per distinct element — measured 20× slower — because
     interpreted HOFs have no common-subexpression reuse.
-    """
-    w = words_expr(text)
-    n = F.size(w)
-    # zip_with(w, w[2:]) builds bigrams in O(words): the former
-    # transform(sequence, i -> element_at(w, i)...) form re-evaluated
-    # the captured words_expr per element — O(words²) (HOF bodies get
-    # no CSE; see functions/text.py let_expr). zip_with pads the
-    # shorter side with null; the trailing (w_n, null) concat is null
-    # and filtered out.
-    bigrams = F.array_sort(F.filter(
-        F.zip_with(w, F.slice(w, 2, F.greatest(n, F.lit(1))),
-                   lambda a, b: F.concat(a, F.lit(" "), b)),
-        lambda x: x.isNotNull(),
-    ))
-    zero = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
 
-    def step(acc, x):
-        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"), run.alias("run"),
-            F.greatest(acc["best"], run).alias("best"),
+    r07: the words array is let-bound — the old form referenced
+    ``words_expr(text)`` four times (zip_with's two arguments, the
+    slice length, the denominator) and codegen CSE does not dedupe the
+    repeated split(trim(lower)) trees, so every call paid the
+    tokenization ~4×. The bound slot makes it once; arithmetic is
+    unchanged, values bit-identical to the SQL twin.
+    """
+    from .text import let_expr
+
+    def body(w: Column) -> Column:
+        n = F.size(w)
+        # zip_with(w, w[2:]) builds bigrams in O(words): the former
+        # transform(sequence, i -> element_at(w, i)...) form re-evaluated
+        # the captured words_expr per element — O(words²) (HOF bodies get
+        # no CSE; see functions/text.py let_expr). zip_with pads the
+        # shorter side with null; the trailing (w_n, null) concat is null
+        # and filtered out.
+        bigrams = F.array_sort(F.filter(
+            F.zip_with(w, F.slice(w, 2, F.greatest(n, F.lit(1))),
+                       lambda a, b: F.concat(a, F.lit(" "), b)),
+            lambda x: x.isNotNull(),
+        ))
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
         )
 
-    top = F.aggregate(bigrams, zero, step, lambda acc: acc["best"])
-    frac = F.round((top * 2.0 / n).cast("double"), 6)
-    return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+        def step(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        top = F.aggregate(bigrams, zero, step, lambda acc: acc["best"])
+        frac = F.round((top * 2.0 / n).cast("double"), 6)
+        return F.when(n >= 2, frac).otherwise(F.lit(0.0))
+
+    return let_expr(words_expr(text), body)
 
 
 def top_bigram_fraction_sql(text: str) -> str:

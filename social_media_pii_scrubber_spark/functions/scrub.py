@@ -122,7 +122,16 @@ def pii_token_count_expr(scrubbed: Column) -> Column:
     pipeline computes anyway) inherits the bank's sequential-order
     semantics for free: an email's inner ``@host`` is never
     double-counted as a handle, because the email pattern consumed it
-    first. One ``regexp_count``, stays in codegen."""
+    first. One ``regexp_count``, stays in codegen.
+
+    Known tradeoff (same class as encoding.py's mojibake-lookalike
+    note): a LITERAL pre-existing ``{{EMAIL}}``-style token in the raw
+    page (pages documenting this scrub format, or adversarial text)
+    counts toward the density and can push a legitimate page over
+    ``pii_max_bp``. Accepted: such pages are vanishingly rare, the
+    failure mode is a conservative DROP (never an under-scrub), and
+    subtracting a pre-scrub count would add a second corpus-wide
+    regexp pass to every caller."""
     return F.regexp_count(scrubbed, F.lit(PII_TOKEN_RE)).cast("bigint")
 
 

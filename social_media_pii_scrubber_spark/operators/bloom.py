@@ -58,7 +58,17 @@ _U64_MASK = (1 << 64) - 1
 
 def _positions(fp: Column, n_bits: int, n_hashes: int) -> Column:
     """Array of the k bloom bit positions for a fingerprint — pure
-    column expressions (seeded xxhash64, non-negative via pmod)."""
+    column expressions (seeded xxhash64, non-negative via pmod).
+
+    PINNED ASSUMPTION: xxhash64 SKIPS null arguments (a null ``fp``
+    still yields a valid bigint — the hash of the seed literal alone),
+    so this array never contains nulls. bloom_incremental_dedup relies
+    on that: Spark extracts Python UDFs and evaluates them BEFORE any
+    enclosing CASE/when guard, so null-fp rows DO reach the probe
+    UDF's np.vstack even though the when(fp.isNull(), ...) branch
+    discards the result. If a change here ever propagates nulls into
+    the array, pre-filter null-fp rows out of the probe input instead
+    of trusting the when() guard."""
     return F.array(*[
         F.pmod(F.xxhash64(F.lit(i), fp), F.lit(n_bits))
         for i in range(n_hashes)

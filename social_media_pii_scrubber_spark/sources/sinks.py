@@ -58,9 +58,13 @@ def write_shuffled_shards(df: DataFrame, key_col: str, path: str,
     re-run after failure rewrites identical shards (same
     all-or-nothing per-directory semantics as the checkpoint writer).
 
-    At scale pick n_shards >= cluster parallelism: one task per shard
-    is the write parallelism, and corpus/n_shards rows must fit a
-    task's spill budget. Returns ``{"path", "n_shards", "rows"}``.
+    At scale pick n_shards >= cluster parallelism: roughly one task
+    per shard is the write parallelism — ``repartition(n, "shard")``
+    HASH-partitions the shard value, so for small n distinct shards
+    can collide into one task while others stay empty (contents and
+    order are still correct; only the task fan-out is approximate).
+    corpus/n_shards rows must fit a task's spill budget. Returns
+    ``{"path", "n_shards", "rows"}``.
     """
     from ..operators.sampling import shard_expr, shuffle_hash_expr
 
